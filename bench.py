@@ -1,0 +1,115 @@
+"""Benchmark: BOS curved-ray rendering throughput (rays/s/chip).
+
+Measures the flagship workload — the reference's BOS sample scene
+(1024x1024 sensor, ~1000 dots x ~100 source points x 500 rays, RK4 march
+through a 64^3 density volume, erf-diffraction sensor) — on the local
+accelerator and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes no numbers (BASELINE.md) and its
+shipped CUDA binary is a debug build (-O0 -G, sm_30).  ``BASELINE_RAYS_S``
+below is a *generous* estimate of an optimized single-GPU CUDA build of
+the reference on this workload (~5M rays/s); the shipped debug build would
+be far slower.  vs_baseline = measured / BASELINE_RAYS_S.
+
+Env overrides for quick runs: PHOTON_BENCH_DOTS, PHOTON_BENCH_RAYS,
+PHOTON_BENCH_REPS, PHOTON_BENCH_SENSOR.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_S = 5.0e6
+
+
+def build_scene(n_dots: int, rays_per_dot: int, sensor: int):
+    from photon_tpu.config import default_config
+    from photon_tpu.models.optics import camera_setup
+    from photon_tpu.models.scenes import bos_source
+    from photon_tpu.utils.rng import lens_samples
+    from photon_tpu.volume import build_density_volume
+
+    cfg = default_config("bos")
+    cfg.camera_design.x_pixel_number = sensor
+    cfg.camera_design.y_pixel_number = sensor
+    cfg.bos_pattern.grid_point_number = n_dots
+    cfg.bos_pattern.particle_number_per_grid_point = 100
+    cfg.bos_pattern.lightray_number_per_particle = rays_per_dot
+    cfg.density_gradients.simulate_density_gradients = True
+    # keep the dot field inside the (possibly reduced) sensor's field of view
+    m = cfg.lens_design.focal_length / (
+        cfg.lens_design.object_distance - cfg.lens_design.focal_length)
+    half = 0.8 * sensor * cfg.camera_design.pixel_pitch / 2.0 / m
+    cfg.bos_pattern.X_Min, cfg.bos_pattern.X_Max = -half, half
+    cfg.bos_pattern.Y_Min, cfg.bos_pattern.Y_Max = -half, half
+    setup = camera_setup(cfg)
+    source, _, _ = bos_source(cfg, setup, np.random.default_rng(1105))
+    r1, r2 = lens_samples(jax.random.key(1105), rays_per_dot)
+
+    # synthetic 64^3 density volume matching the sample-data scene scale
+    # (NRRD-frame z: dot plane at z = object_distance)
+    n = 64
+    x = np.linspace(-1.5e5, 1.5e5, n)
+    z = np.linspace(setup.object_distance - 5e5,
+                    setup.object_distance - 1e2, n)
+    rho = 1.225 + 5.0 * (x[:, None, None] - x.min()) / (x.max() - x.min()) \
+        * np.ones((1, n, n))
+    vol = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], z[1] - z[0]], [x[0], x[0], z[0]])
+    return cfg, setup, source, np.asarray(r1), np.asarray(r2), vol
+
+
+def main() -> int:
+    from photon_tpu.models.render import render_image
+    from photon_tpu.ops.march import make_march_fn
+
+    n_dots = int(os.environ.get("PHOTON_BENCH_DOTS", 1000))
+    rays_per_dot = int(os.environ.get("PHOTON_BENCH_RAYS", 500))
+    sensor = int(os.environ.get("PHOTON_BENCH_SENSOR", 1024))
+    reps = int(os.environ.get("PHOTON_BENCH_REPS", 3))
+
+    cfg, setup, source, r1, r2, vol = build_scene(n_dots, rays_per_dot,
+                                                  sensor)
+    march_fn = make_march_fn(vol, algorithm=2)
+    total_rays = source.num_rays
+
+    def run():
+        img = render_image(cfg, setup, source, r1, r2, march_fn=march_fn)
+        img.block_until_ready()
+        return img
+
+    t0 = time.time()
+    img = run()
+    compile_s = time.time() - t0
+    print(f"# compile+first run: {compile_s:.1f}s, image sum "
+          f"{float(img.sum()):.4g}, rays {total_rays}", file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    rays_per_s = total_rays / best
+    print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "bos_rk4_forward_rays_per_s",
+        "value": rays_per_s,
+        "unit": "rays/s/chip",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_S,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,208 @@
+"""Simulation drivers: end-to-end PIV / BOS / calibration image generation.
+
+TPU-native replacement for the reference's orchestration layer
+(``run_simulation_02.run_simulation_02``, ref: run_simulation_02.py:1725-2106):
+builds the optical system, generates the scene, renders (reference +
+density-gradient image pair for BOS), post-processes and writes TIFF/raw
+artifacts plus the parameter/position sidecars.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+
+from photon_tpu.config import SimulationConfig
+from photon_tpu.models.optics import CameraSetup, camera_setup
+from photon_tpu.models.render import render_image
+from photon_tpu.models.scenes import (LightfieldSource, bos_source,
+                                      calibration_source, piv_source)
+from photon_tpu.postprocess import postprocess
+from photon_tpu.utils.rng import lens_samples
+from photon_tpu.utils.tiff_io import write_tiff16
+
+
+@dataclass
+class SimulationResult:
+    """Artifacts of one run: quantized + raw images and scene metadata."""
+
+    images: Dict[str, np.ndarray]          # name -> uint16 image
+    raw_images: Dict[str, np.ndarray]      # name -> float32 image
+    setup: CameraSetup
+    sources: Dict[str, LightfieldSource]
+    dot_positions: Optional[Dict[str, np.ndarray]] = None
+
+
+def _lens_sample_pair(cfg: SimulationConfig, n_rays: int):
+    """Per-ray lens-aperture samples, shared by all source points.
+
+    (analogue of generate_random_numbers_for_lightrays,
+    ref: run_simulation_02.py:1699-1722)
+    """
+    key = jax.random.key(cfg.seed)
+    return lens_samples(key, n_rays)
+
+
+def _march_fn_for(cfg: SimulationConfig, enable: bool):
+    """Build the density-gradient marching stage, or None."""
+    if not enable:
+        return None
+    from photon_tpu.volume import load_density_volume
+    from photon_tpu.ops.march import make_march_fn
+
+    vol = load_density_volume(
+        cfg.density_gradients.density_gradient_filename,
+        gladstone_dale=cfg.density_gradients.gladstone_dale)
+    return make_march_fn(
+        vol,
+        algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
+        interpolation_scheme=int(cfg.density_gradients.interpolation_scheme),
+        add_ngrad_noise=cfg.density_gradients.add_ngrad_noise,
+        ngrad_noise_std=cfg.density_gradients.ngrad_noise_std,
+        seed=cfg.seed)
+
+
+def run_bos(cfg: SimulationConfig,
+            rng: Optional[np.random.Generator] = None,
+            rays_per_chunk: int = 2_000_000) -> SimulationResult:
+    """Render the BOS image pair: im1 (no gradients) + im2 (with gradients).
+
+    (ref: run_simulation_02.py:1976-2106)
+    """
+    if rng is None:
+        rng = np.random.default_rng(cfg.seed)
+    setup = camera_setup(cfg)
+    source, dot_x, dot_y = bos_source(cfg, setup, rng)
+    r1, r2 = _lens_sample_pair(cfg, source.lightray_number_per_particle)
+
+    images, raws = {}, {}
+    key = jax.random.key(cfg.seed + 7)
+    for name, gradients in (("bos_pattern_image_1", False),
+                            ("bos_pattern_image_2", True)):
+        # im1 always renders without gradients, im2 with them — regardless
+        # of the config flag (ref: run_simulation_02.py:2034, 2064)
+        march_fn = _march_fn_for(
+            cfg, gradients
+            and bool(cfg.density_gradients.density_gradient_filename))
+        raw = render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
+                           rays_per_chunk=rays_per_chunk)
+        key, sub = jax.random.split(key)
+        I, I_raw = postprocess(cfg, raw, key=sub)
+        images[name], raws[name] = I, I_raw
+
+    return SimulationResult(images=images, raw_images=raws, setup=setup,
+                            sources={"bos": source},
+                            dot_positions={"x": dot_x, "y": dot_y})
+
+
+def run_piv(cfg: SimulationConfig,
+            rng: Optional[np.random.Generator] = None,
+            rays_per_chunk: int = 2_000_000) -> SimulationResult:
+    """Render the PIV frame sequence (ref: run_simulation_02.py:1773-1879)."""
+    if rng is None:
+        rng = np.random.default_rng(cfg.seed)
+    setup = camera_setup(cfg)
+    pf = cfg.particle_field
+
+    scattering = None
+    diameter_idx = None
+    if pf.perform_mie_scattering:
+        from photon_tpu.ops.mie import create_mie_scattering_data
+        scattering = create_mie_scattering_data(cfg, rng)
+        diameter_idx = scattering["particle_diameter_index_distribution"]
+
+    r1, r2 = _lens_sample_pair(cfg, pf.lightray_number_per_particle)
+
+    images, raws, sources = {}, {}, {}
+    key = jax.random.key(cfg.seed + 7)
+    for frame_index in pf.frame_vector:
+        source = piv_source(cfg, setup, frame_index,
+                            diameter_index_distribution=diameter_idx, rng=rng)
+        march_fn = _march_fn_for(
+            cfg, cfg.density_gradients.simulate_density_gradients)
+        raw = render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
+                           scattering=scattering,
+                           rays_per_chunk=rays_per_chunk)
+        key, sub = jax.random.split(key)
+        name = f"particle_image_frame_{frame_index:04d}"
+        images[name], raws[name] = postprocess(cfg, raw, key=sub)
+        sources[name] = source
+
+    return SimulationResult(images=images, raw_images=raws, setup=setup,
+                            sources=sources)
+
+
+def run_cal(cfg: SimulationConfig,
+            rng: Optional[np.random.Generator] = None,
+            rays_per_chunk: int = 2_000_000) -> SimulationResult:
+    """Render one image per calibration plane (ref: run_simulation_02.py:1881-1974)."""
+    if rng is None:
+        rng = np.random.default_rng(cfg.seed)
+    setup = camera_setup(cfg)
+    cg = cfg.calibration_grid
+    r1, r2 = _lens_sample_pair(cfg, cg.lightray_number_per_particle)
+
+    images, raws, sources = {}, {}, {}
+    key = jax.random.key(cfg.seed + 7)
+    for plane in range(int(cg.calibration_plane_number)):
+        source = calibration_source(cfg, setup, plane, rng)
+        raw = render_image(cfg, setup, source, r1, r2,
+                           rays_per_chunk=rays_per_chunk)
+        key, sub = jax.random.split(key)
+        name = f"calibration_image_plane_{plane + 1:04d}"
+        images[name], raws[name] = postprocess(cfg, raw, key=sub)
+        sources[name] = source
+
+    return SimulationResult(images=images, raw_images=raws, setup=setup,
+                            sources=sources)
+
+
+def run_simulation(cfg: SimulationConfig, **kw) -> SimulationResult:
+    """Dispatch on simulation_type (ref: run_simulation_02.py:1773, 1881, 1976)."""
+    if cfg.simulation_type == "bos":
+        return run_bos(cfg, **kw)
+    if cfg.simulation_type == "piv":
+        return run_piv(cfg, **kw)
+    if cfg.simulation_type == "cal":
+        return run_cal(cfg, **kw)
+    raise ValueError(f"unknown simulation_type {cfg.simulation_type!r}")
+
+
+def save_result(cfg: SimulationConfig, result: SimulationResult,
+                out_dir: Optional[str] = None) -> List[str]:
+    """Write TIFF + raw artifacts and parameter sidecars.
+
+    Directory layout mirrors the reference: ``tif/`` and ``raw/``
+    subdirectories plus ``parameters``/``positions`` metadata
+    (ref: run_simulation_02.py:1764-1771, 2048-2106); parameters are saved
+    as JSON rather than .mat.
+    """
+    out_dir = out_dir or cfg.output_data.image_directory or "."
+    tif_dir = os.path.join(out_dir, "tif")
+    raw_dir = os.path.join(out_dir, "raw")
+    os.makedirs(tif_dir, exist_ok=True)
+    os.makedirs(raw_dir, exist_ok=True)
+    written = []
+    for name, img in result.images.items():
+        p = os.path.join(tif_dir, name + ".tif")
+        write_tiff16(p, img)
+        written.append(p)
+    for name, raw in result.raw_images.items():
+        p = os.path.join(raw_dir, name + ".bin")
+        raw.astype(np.float32).tofile(p)
+        written.append(p)
+    p = os.path.join(out_dir, "parameters.json")
+    cfg.to_json(p)
+    written.append(p)
+    if result.dot_positions is not None:
+        p = os.path.join(out_dir, "positions.json")
+        with open(p, "w") as f:
+            json.dump({k: np.asarray(v).tolist()
+                       for k, v in result.dot_positions.items()}, f)
+        written.append(p)
+    return written

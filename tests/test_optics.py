@@ -1,0 +1,105 @@
+"""Tests for optical-system construction and geometry derivation."""
+import numpy as np
+import pytest
+
+from photon_tpu.config import default_config
+from photon_tpu.models.optics import (
+    camera_setup,
+    create_camera_optical_system,
+    flatten_assembly,
+    lensmaker_refractive_index,
+    rotation_matrix,
+    rotate_coordinates,
+)
+
+
+def _reference_refractive_index(f, R, t):
+    """The reference's closed-form lensmaker roots
+    (formula from run_simulation_02.py:304-317)."""
+    n1 = (2*t*f - 2*f*R - R**2 - R*np.sqrt(-4*t*f + (2*f + R)**2)) \
+        / (2*f*(t - 2*R))
+    n2 = (2*t*f - 2*f*R - R**2 + R*np.sqrt(-4*t*f + (2*f + R)**2)) \
+        / (2*f*(t - 2*R))
+    cands = [n for n in (n1, n2) if np.isreal(n) and n >= 1]
+    return min(cands)
+
+
+def test_lensmaker_matches_reference_closed_form():
+    f, R = 105e3, 100000.0e3
+    pitch = f / 8.0
+    t = 2.0 * (R - np.sqrt(R * R - (pitch / 2.0) ** 2))
+    n_ours = lensmaker_refractive_index(f, R, t)
+    n_ref = _reference_refractive_index(f, R, t)
+    assert n_ours == pytest.approx(n_ref, rel=1e-10)
+    # sanity: the solved index actually reproduces f via the thick lensmaker eq
+    f_check = 1.0 / ((n_ours - 1) * (2/R - (n_ours - 1)*t/(n_ours*R*R)))
+    assert f_check == pytest.approx(f, rel=1e-6)
+
+
+def test_lensmaker_small_radius():
+    # the sample-parameters R=100mm case (thick lens)
+    f, R = 105e3, 100e3
+    pitch = f / 8.0
+    t = 2.0 * (R - np.sqrt(R * R - (pitch / 2.0) ** 2))
+    n_ours = lensmaker_refractive_index(f, R, t)
+    n_ref = _reference_refractive_index(f, R, t)
+    assert n_ours == pytest.approx(n_ref, rel=1e-10)
+    assert 1.0 < n_ours < 3.0
+
+
+def test_rotation_matrix_identity_and_orthonormal():
+    assert np.allclose(rotation_matrix(0, 0, 0), np.eye(3))
+    r = rotation_matrix(0.1, -0.2, 0.3)
+    assert np.allclose(r @ r.T, np.eye(3), atol=1e-12)
+    x, y, z = rotate_coordinates(np.array([1.0]), np.array([0.0]),
+                                 np.array([0.0]), 0.0, 0.0, np.pi / 2)
+    # z-rotation by +90 deg with the reference's sign convention maps
+    # (1,0,0) -> (0,-1,0)
+    assert np.allclose([x[0], y[0], z[0]], [0.0, -1.0, 0.0], atol=1e-12)
+
+
+def test_camera_setup_geometry():
+    cfg = default_config("bos")
+    setup = camera_setup(cfg)
+    f = cfg.lens_design.focal_length
+    s_o = cfg.lens_design.object_distance
+    # thin-lens image distance 1/f = 1/s_o + 1/s_i
+    assert setup.image_distance == pytest.approx(1/(1/f - 1/s_o))
+    assert setup.magnification == pytest.approx(f / (s_o - f))
+    assert setup.lens_pitch == pytest.approx(f / 8.0)
+    # z ordering: sensor at 0, lens between sensor and object
+    assert setup.z_sensor == 0.0
+    assert 0 < setup.z_lens < setup.z_object
+    assert setup.z_offset == pytest.approx(setup.z_object - s_o)
+    # flattened train: one lens element, plane normal +z through z_lens
+    st = setup.elements
+    assert st.num_elements == 1
+    assert np.allclose(st.plane_parameters[0][:3], [0, 0, 1])
+    assert st.plane_parameters[0][3] == pytest.approx(-setup.z_lens)
+    assert st.center[0][2] == pytest.approx(setup.z_lens)
+
+
+def test_thin_lens_model_zero_thickness():
+    cfg = default_config("bos")
+    cfg.lens_design.lens_model = "thin-lens"
+    setup = camera_setup(cfg)
+    assert setup.elements.vertex_distance[0] == 0.0
+    # with t=0 principal planes coincide with vertices
+    assert setup.h1_principal_plane == 0.0
+    assert setup.z_object == pytest.approx(
+        setup.image_distance + cfg.lens_design.object_distance)
+
+
+def test_flatten_assembly_multi_element():
+    from photon_tpu.models.optics import OpticalAssembly, OpticalElement
+    lens1 = OpticalElement(vertex_distance=5e3, z_inter_element_distance=2e3)
+    stop = OpticalElement(element_type="aperture", vertex_distance=1e3,
+                          z_inter_element_distance=3e3)
+    lens2 = OpticalElement(vertex_distance=4e3)
+    asm = OpticalAssembly(elements=[lens1, stop, lens2])
+    st = flatten_assembly(asm)
+    assert st.num_elements == 3
+    # sequential z: each element at the accumulated distance of its predecessors
+    np.testing.assert_allclose(st.center[:, 2], [0.0, 7e3, 11e3])
+    np.testing.assert_array_equal(st.system_index, [1, 2, 3])
+    np.testing.assert_array_equal(st.element_type, [0, 1, 0])
