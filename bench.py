@@ -69,8 +69,7 @@ def build_scene(n_dots: int, rays_per_dot: int, sensor: int):
 
 
 def main() -> int:
-    from photon_tpu.models.render import render_image
-    from photon_tpu.ops.march import make_march_fn
+    from photon_tpu.models.render_fast import render_image_fast
 
     n_dots = int(os.environ.get("PHOTON_BENCH_DOTS", 1000))
     rays_per_dot = int(os.environ.get("PHOTON_BENCH_RAYS", 500))
@@ -79,11 +78,10 @@ def main() -> int:
 
     cfg, setup, source, r1, r2, vol = build_scene(n_dots, rays_per_dot,
                                                   sensor)
-    march_fn = make_march_fn(vol, algorithm=2)
     total_rays = source.num_rays
 
     def run():
-        img = render_image(cfg, setup, source, r1, r2, march_fn=march_fn)
+        img = render_image_fast(cfg, setup, source, r1, r2, vol=vol)
         img.block_until_ready()
         return img
 

@@ -1,0 +1,360 @@
+"""Speed-of-light forward renderer: (P, R) structure-of-arrays pipeline.
+
+The reference dedicates one CUDA thread per ray with scattered memory
+access throughout (generation -> 3-D texture march -> lens -> atomicAdd
+splat).  TPUs have no per-lane gather/scatter hardware, so this renderer
+keeps the *particle* structure of the problem explicit — every array is
+(P particles, R rays) with the big ray axis minor — and replaces every
+scattered access with streaming or matmul equivalents:
+
+* ray generation: broadcast arithmetic (no change in math;
+  ref: parallel_ray_tracing.cu generate_lightfield_angular_data :71-237)
+* density march: per-particle voxel tubes + z-slab scan
+  (photon_tpu.ops.march_fast — zero gathers in the loop)
+* lens propagation: the same Snell/thin-lens math as photon_tpu.ops.lens,
+  written componentwise (SoA twin)
+* sensor: per-particle K x K patch accumulation on the MXU
+  (photon_tpu.ops.sensor_fast) + one small patch scatter
+
+The slow-but-exact reference path (photon_tpu.models.render) remains the
+semantics oracle; tests drive both and compare images.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from photon_tpu.config import SimulationConfig
+from photon_tpu.models.optics import CameraSetup
+from photon_tpu.models.render import RenderParams
+from photon_tpu.models.scenes import LightfieldSource
+from photon_tpu.ops.march_fast import (apply_chief_deltas, extract_tubes,
+                                       march_chief_deltas, march_tubes)
+from photon_tpu.ops.sensor_fast import particle_splat, patch_splat
+from photon_tpu.volume import DensityVolume
+
+
+# ---------------------------------------------------------------------------
+# SoA lens stages ((P, R) component arrays)
+# ---------------------------------------------------------------------------
+
+
+def _refract_soa(dx, dy, dz, nx_, ny_, nz_, ratio):
+    """Snell refraction, componentwise (twin of ops.lens._refract)."""
+    cos_i = -(dx * nx_ + dy * ny_ + dz * nz_)
+    radicand = 1.0 - ratio * ratio * (1.0 - cos_i * cos_i)
+    tir = radicand < 0.0
+    k = ratio * cos_i - jnp.sqrt(jnp.maximum(radicand, 0.0))
+    ox = dx * ratio + k * nx_
+    oy = dy * ratio + k * ny_
+    oz = dz * ratio + k * nz_
+    inv = 1.0 / jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    return ox * inv, oy * inv, oz * inv, tir
+
+
+def _sphere_hit_soa(cx, cy, cz, radius, dx, dy, dz, px, py, pz):
+    """First sphere intersection, componentwise (twin of
+    ops.lens.ray_sphere_intersection; root choice per :293-337)."""
+    ox, oy, oz = px - cx, py - cy, pz - cz
+    beta = 2.0 * (dx * ox + dy * oy + dz * oz)
+    gamma = ox * ox + oy * oy + oz * oz - radius * radius
+    disc = beta * beta - 4.0 * gamma          # alpha == 1 for unit dirs
+    miss = disc < 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-beta + sq) / 2.0
+    t2 = (-beta - sq) / 2.0
+    lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    t = jnp.where(radius > 0, lo, hi)
+    return px + dx * t, py + dy * t, pz + dz * t, miss
+
+
+def propagate_thick_lens_soa(px, py, pz, dx, dy, dz, valid, params_el):
+    """Biconvex thick lens on the z axis (plane normal +z), SoA.
+
+    Assumes the axis-aligned single-lens train produced by
+    create_camera_optical_system (plane (0,0,1), center on axis at
+    z_lens) — the general tilted-element path falls back to
+    photon_tpu.ops.lens.  (math: parallel_ray_tracing.cu :507-864)
+    """
+    (z_lens, pitch, vertex, r_front, r_back, n_lens, transmission) = params_el
+    half_pitch = pitch / 2.0
+
+    # front surface
+    czf = z_lens + vertex / 2.0 - r_front
+    hx, hy, hz, miss = _sphere_hit_soa(0.0, 0.0, czf, r_front,
+                                       dx, dy, dz, px, py, pz)
+    r2 = hx * hx + hy * hy
+    valid = valid & ~miss & (r2 <= half_pitch * half_pitch)
+    nx_, ny_, nz_ = hx, hy, hz - czf
+    inv = 1.0 / jnp.sqrt(nx_ * nx_ + ny_ * ny_ + nz_ * nz_)
+    nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
+    dx, dy, dz, tir = _refract_soa(dx, dy, dz, nx_, ny_, nz_, 1.0 / n_lens)
+    valid = valid & ~tir
+    px, py, pz = hx, hy, hz
+
+    # back surface
+    czb = z_lens - vertex / 2.0 - r_back
+    hx, hy, hz, miss = _sphere_hit_soa(0.0, 0.0, czb, r_back,
+                                       dx, dy, dz, px, py, pz)
+    r2 = hx * hx + hy * hy
+    valid = valid & ~miss & (r2 <= half_pitch * half_pitch)
+    nx_, ny_, nz_ = -(hx), -(hy), -(hz - czb)
+    inv = 1.0 / jnp.sqrt(nx_ * nx_ + ny_ * ny_ + nz_ * nz_)
+    nx_, ny_, nz_ = nx_ * inv, ny_ * inv, nz_ * inv
+    dx, dy, dz, tir = _refract_soa(dx, dy, dz, nx_, ny_, nz_, n_lens)
+    valid = valid & ~tir
+    return hx, hy, hz, dx, dy, dz, valid, transmission
+
+
+def propagate_thin_lens_soa(px, py, pz, dx, dy, dz, valid,
+                            z_lens, pitch, focal_length):
+    """Ideal thin lens at z_lens, SoA (ref: :416-503)."""
+    t = (z_lens - pz) / dz
+    hx, hy = px + dx * t, py + dy * t
+    r2 = hx * hx + hy * hy
+    valid = valid & (r2 <= (pitch / 2.0) ** 2)
+    ox = -hx / focal_length + dx
+    oy = -hy / focal_length + dy
+    oz = dz
+    inv = 1.0 / jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    return hx, hy, jnp.full_like(hx, 1.0) * z_lens, \
+        ox * inv, oy * inv, oz * inv, valid
+
+
+# ---------------------------------------------------------------------------
+# Full fast forward
+# ---------------------------------------------------------------------------
+
+
+def _axis_aligned(setup: CameraSetup) -> bool:
+    """The fast lens path needs the untilted single-element train."""
+    st = setup.elements
+    return (st.num_elements == 1
+            and np.allclose(st.plane_parameters[0][:3], [0, 0, 1])
+            and np.allclose(st.center[0][:2], [0, 0]))
+
+
+def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
+                      source: LightfieldSource, r1, r2,
+                      vol: Optional[DensityVolume] = None,
+                      algorithm: int = 2,
+                      patch: int = 12,
+                      particles_per_chunk: Optional[int] = None,
+                      chief_march: bool = True,
+                      per_ray_splat: bool = False,
+                      ) -> jnp.ndarray:
+    """Render the raw image with the (P, R) SoA pipeline.
+
+    Supports the axis-aligned camera (zero camera angles — the BOS/PIV
+    default) with 'apparent', 'thin-lens' or 'general' lens models and
+    diffuse scattering; other configurations should use
+    photon_tpu.models.render.render_image.
+
+    ``chief_march``: march one chief ray per particle and broadcast its
+    deflection to the fan (exact to the ~1 um lens-cone width; set False
+    to march every ray through its tube).  ``per_ray_splat``: deposit
+    every ray's own erf spot instead of one spot per particle at the
+    amplitude-weighted centroid (needed with per-ray position noise).
+    """
+    params = RenderParams.from_setup(cfg, setup, source)
+    if not _axis_aligned(setup):
+        raise NotImplementedError("fast path requires the axis-aligned "
+                                  "single-lens train")
+    if abs(cfg.camera_design.x_camera_angle) > 0 or \
+       abs(cfg.camera_design.y_camera_angle) > 0:
+        raise NotImplementedError("fast path requires zero camera angles")
+
+    P = source.num_particles
+    R = int(source.lightray_number_per_particle)
+
+    xs = jnp.asarray(source.x)
+    ys = jnp.asarray(source.y)
+    zs = jnp.asarray(source.z)
+    rad = jnp.asarray(source.radiance, jnp.float32)
+    r1 = jnp.asarray(r1, jnp.float32)
+    r2 = jnp.asarray(r2, jnp.float32)
+
+    st = setup.elements
+    lens_params = (float(setup.z_lens), float(st.pitch[0]),
+                   float(st.vertex_distance[0]),
+                   float(st.front_surface_radius[0]),
+                   float(st.back_surface_radius[0]),
+                   float(st.refractive_index[0]),
+                   float(st.transmission_ratio[0]))
+
+    tubes = None
+    if vol is not None:
+        # chief-ray entry (x, y): project each particle straight down z
+        # onto the volume top in the marcher frame (valid for the small
+        # angles of the f/8 + 1e-4-pitch-ratio ray cone)
+        shift = jnp.float32(params.z_offset + 750e3)
+        tubes = extract_tubes(vol, xs, ys)
+
+    # ---- per-chunk renderer (all (Pc, R) SoA) -------------------------
+    def render_chunk(xs, ys, zs, rad, tube_slabs, tube_x0, tube_y0):
+        # ray generation (ref: :104-130)
+        cone = params.ray_cone_pitch_ratio * params.lens_pitch
+        x_lens = cone * r1 * jnp.cos(2.0 * jnp.pi * r2)    # (R,)
+        y_lens = cone * r1 * jnp.sin(2.0 * jnp.pi * r2)
+        if R == 1:
+            x_lens = jnp.zeros_like(x_lens)
+            y_lens = jnp.zeros_like(y_lens)
+        denom = params.image_distance - zs[:, None]        # (P, 1)
+        tx = -(x_lens[None, :] - xs[:, None]) / denom      # (P, R)
+        ty = -(y_lens[None, :] - ys[:, None]) / denom
+        inv = 1.0 / jnp.sqrt(tx * tx + ty * ty + 1.0)
+        dx, dy, dz = tx * inv, ty * inv, -inv
+        px = jnp.broadcast_to(xs[:, None], tx.shape)
+        py = jnp.broadcast_to(ys[:, None], tx.shape)
+        pz = jnp.broadcast_to(zs[:, None], tx.shape)
+        amp0 = jnp.broadcast_to(
+            (rad / params.aperture_f_number ** 2)[:, None], tx.shape)
+        valid = jnp.ones(tx.shape, dtype=bool)
+
+        # density-gradient stage (marcher frame: z shifted; zero camera
+        # rotation on this path)  (ref kernel :2036-2129)
+        if tube_slabs is not None:
+            from photon_tpu.ops.march_fast import TubeBundle
+            shift = jnp.float32(params.z_offset + 750e3)
+            tb = TubeBundle(slabs=tube_slabs, x0=tube_x0, y0=tube_y0)
+            if chief_march:
+                # march P chief rays (toward the lens center), then apply
+                # their curvature deltas to the whole fan
+                dden = params.image_distance - zs
+                ctx = xs / dden
+                cty = ys / dden
+                cinv = 1.0 / jnp.sqrt(ctx * ctx + cty * cty + 1.0)
+                deltas = march_chief_deltas(
+                    vol, tb, xs, ys, zs - shift,
+                    ctx * cinv, cty * cinv, -cinv, algorithm=algorithm)
+                px2, py2, pz2, dx, dy, dz = apply_chief_deltas(
+                    deltas, px, py, pz - shift, dx, dy, dz)
+            else:
+                px2, py2, pz2, dx, dy, dz = march_tubes(
+                    vol, tb, px, py, pz - shift, dx, dy, dz,
+                    algorithm=algorithm)
+            px, py, pz = px2, py2, pz2 + shift
+
+        # lens model
+        if params.lens_model == "apparent":
+            # reverse + object-plane intersection + magnification
+            # (ref: create_apparent_image :1545-1648)
+            z_object = params.object_distance + params.z_offset
+            rdx, rdy, rdz = -dx, -dy, -dz
+            t = (z_object - pz) / rdz
+            hx = px + rdx * t
+            hy = py + rdy * t
+            f = params.thin_lens_focal_length
+            magnification = f / (z_object - params.z_offset - f)
+            ix = -hx * magnification
+            iy = -hy * magnification
+            fdx, fdy, fdz = rdx, rdy, rdz
+            render_fraction = 1.0
+        else:
+            if params.lens_model == "thin-lens":
+                px, py, pz, dx, dy, dz, valid = propagate_thin_lens_soa(
+                    px, py, pz, dx, dy, dz, valid, float(setup.z_lens),
+                    lens_params[1], float(st.thin_lens_focal_length[0]))
+            else:
+                px, py, pz, dx, dy, dz, valid, trans = \
+                    propagate_thick_lens_soa(px, py, pz, dx, dy, dz,
+                                             valid, lens_params)
+                amp0 = amp0 * trans
+            # sensor plane
+            t = (params.z_sensor - pz) / dz
+            ix = px + dx * t
+            iy = py + dy * t
+            fdx, fdy, fdz = dx, dy, dz
+            render_fraction = 0.75
+
+        # pixel coordinates (mirrored x; ref: :1441-1447)
+        nx, ny = params.nx, params.ny
+        pitch = params.pixel_pitch
+        pixel_1_x = -pitch * (nx - 1) / 2.0
+        pixel_1_y = -pitch * (ny - 1) / 2.0
+        d_x = (nx - 1) - (ix - pixel_1_x) / pitch
+        d_y = (iy - pixel_1_y) / pitch
+        on_sensor = (d_x >= 0) & (d_x < nx) & (d_y >= 0) & (d_y < ny)
+        valid = valid & on_sensor
+
+        X = d_x - 0.5
+        Y = d_y - 0.5
+        cos2 = (fdz * fdz) / (fdx * fdx + fdy * fdy + fdz * fdz)
+        amp = amp0 * cos2 * cos2 * (8.0 / jnp.pi)
+        amp = jnp.where(valid, amp, 0.0)
+
+        # per-particle amplitude-weighted ray centroid: doubles as the
+        # patch anchor (robust to defocus, where the fixed-magnification
+        # prediction would drift by several pixels)
+        A = amp.sum(axis=1)                                # (P,)
+        denom_a = jnp.maximum(A, 1e-30)
+        Xbar = (amp * X).sum(axis=1) / denom_a
+        Ybar = (amp * Y).sum(axis=1) / denom_a
+        ok_p = A > 0
+        pred_col = jnp.round(jnp.where(ok_p, Xbar, -1e6)).astype(jnp.int32)
+        pred_row = jnp.round(jnp.where(ok_p, Ybar, -1e6)).astype(jnp.int32)
+
+        if per_ray_splat:
+            return patch_splat(X, Y, amp, pred_col, pred_row,
+                               nx=nx, ny=ny,
+                               diameter=params.diffraction_diameter,
+                               patch=patch)
+        return particle_splat(Xbar, Ybar, A, pred_col, pred_row,
+                              nx=nx, ny=ny,
+                              diameter=params.diffraction_diameter,
+                              patch=patch)
+
+    # ---- chunking over particles --------------------------------------
+    if particles_per_chunk is None or particles_per_chunk >= P:
+        slabs = tubes.slabs if tubes is not None else None
+        tx0 = tubes.x0 if tubes is not None else None
+        ty0 = tubes.y0 if tubes is not None else None
+        return jax.jit(render_chunk)(xs, ys, zs, rad, slabs, tx0, ty0)
+
+    n_chunks = math.ceil(P / particles_per_chunk)
+    pc = particles_per_chunk
+    pad = n_chunks * pc - P
+
+    def padp(a, fill=0.0):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill,
+                                            a.dtype)])
+
+    xs_c = padp(xs).reshape(n_chunks, pc)
+    ys_c = padp(ys).reshape(n_chunks, pc)
+    zs_c = padp(zs, 1.0).reshape(n_chunks, pc)
+    rad_c = padp(rad).reshape(n_chunks, pc)
+
+    if tubes is not None:
+        slabs_c = padp(jnp.moveaxis(tubes.slabs, -1, 0)).reshape(
+            (n_chunks, pc) + tubes.slabs.shape[:-1])
+        x0_c = padp(tubes.x0).reshape(n_chunks, pc)
+        y0_c = padp(tubes.y0).reshape(n_chunks, pc)
+
+        @jax.jit
+        def run():
+            def body(img, c):
+                x, y, z, r, sl, tx0, ty0 = c
+                sl = jnp.moveaxis(sl, 0, -1)
+                return img + render_chunk(x, y, z, r, sl, tx0, ty0), None
+            init = jnp.zeros((params.ny, params.nx), jnp.float32)
+            img, _ = jax.lax.scan(
+                body, init, (xs_c, ys_c, zs_c, rad_c, slabs_c, x0_c, y0_c))
+            return img
+        return run()
+
+    @jax.jit
+    def run_plain():
+        def body(img, c):
+            x, y, z, r = c
+            return img + render_chunk(x, y, z, r, None, None, None), None
+        init = jnp.zeros((params.ny, params.nx), jnp.float32)
+        img, _ = jax.lax.scan(body, init, (xs_c, ys_c, zs_c, rad_c))
+        return img
+    return run_plain()

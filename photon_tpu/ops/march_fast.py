@@ -1,0 +1,326 @@
+"""Gather-free eikonal marching: per-particle tubes + z-slab scan.
+
+The reference marches each ray independently with per-step 3-D texture
+fetches (trace_rays_through_density_gradients.h) — a scattered-gather
+pattern that TPUs fundamentally lack hardware for (no per-lane vector
+gather; XLA lowers it to ~85M elem/s scalar fetches, measured).  This
+module is the TPU-native reformulation that removes every in-loop gather
+by exploiting the scene's physical coherence:
+
+* All rays emitted by one source point (particle/dot) stay within a
+  fraction of a voxel of each other: the lens-aperture cone is
+  ``ray_cone_pitch_ratio * lens_pitch`` wide (~1 um for the BOS defaults)
+  and BOS/PIV deflections are micro-radians, while voxels are mm-scale.
+  So each particle needs only a narrow **tube** of voxel columns —
+  a (D, TW, TW) window around its chief ray — extracted once per render
+  (the only gather, O(P * D * TW^2), amortized over all R rays and steps).
+
+* The camera looks down -z, so the march is re-parametrized from arc
+  length to z and becomes a ``lax.scan`` over z-slabs.  Per step the
+  active slab pair is a *scanned input* (streamed, not gathered), and
+  trilinear interpolation inside the (TW x TW) tube cross-section is an
+  unrolled weighted sum of (P, R) arrays — pure VPU work with the large
+  ray axis minor, i.e. perfectly tiled.
+
+The integrator solves the exact (non-paraxial) eikonal ODE in z:
+with T = n * dr/ds (Sharma's optical ray vector) and g = ds/dz = n/T_z,
+
+    d(x, y)/dz = (T_x / T_z, T_y / T_z)
+    dT/dz      = g * grad(n)
+
+stepped with classic RK4 at dz = one slab spacing.  This is a different
+discretization than the reference's arc-length RK4 (:952-1291) but
+converges to the same continuum solution; tests check both against the
+paraxial BOS oracle and against the exact-replica marcher.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from photon_tpu.volume import DensityVolume
+
+TUBE_WIDTH = 4  # voxel columns per side of a particle's tube
+
+
+class TubeBundle(NamedTuple):
+    """Per-particle voxel tubes, laid out for slab streaming.
+
+    ``slabs`` has shape (D, C=4, TW, TW, P): scan axis leading, channels
+    (dn/dx, dn/dy, dn/dz, n-1), tube cross-section, particles minor.
+    ``x0``/``y0`` are the world coordinates of tube column (0, 0).
+    """
+
+    slabs: jnp.ndarray      # (D, 4, TW, TW, P)
+    x0: jnp.ndarray         # (P,)
+    y0: jnp.ndarray         # (P,)
+
+
+def extract_tubes(vol: DensityVolume, particle_x, particle_y,
+                  tube_width: int = TUBE_WIDTH) -> TubeBundle:
+    """Cut a (D, TW, TW) voxel tube around each particle's (x, y).
+
+    The tube is centered on the voxel containing the particle's chief-ray
+    entry point; interpolation uses the same clamped-texture convention as
+    the reference path, so positions are mapped through the
+    ``lookup = 1 + frac (N-2)`` coordinate (ops.interp.texture_lookup)
+    before localization.
+    """
+    w, h, d = vol.sizes
+    tw = tube_width
+    field = vol.field                      # (D, H, W, 4)
+
+    # voxel-space coordinate of the particle (u = lookup - 0.5)
+    fx = (particle_x - vol.min_bound[0]) / (vol.max_bound[0] - vol.min_bound[0])
+    fy = (particle_y - vol.min_bound[1]) / (vol.max_bound[1] - vol.min_bound[1])
+    ux = 0.5 + fx * (w - 2.0)
+    uy = 0.5 + fy * (h - 2.0)
+    ix0 = jnp.clip(jnp.floor(ux).astype(jnp.int32) - (tw // 2 - 1), 0, w - tw)
+    iy0 = jnp.clip(jnp.floor(uy).astype(jnp.int32) - (tw // 2 - 1), 0, h - tw)
+
+    def cut(ix, iy):
+        return jax.lax.dynamic_slice(field, (0, iy, ix, 0),
+                                     (d, tw, tw, 4))     # (D, TW, TW, 4)
+
+    tubes = jax.vmap(cut)(ix0, iy0)                      # (P, D, TW, TW, 4)
+    slabs = jnp.transpose(tubes, (1, 4, 2, 3, 0))        # (D, 4, TW, TW, P)
+
+    # world coordinates of tube column (0, 0): invert the lookup map
+    # u = 0.5 + frac (N-2)  =>  world = min + (u - 0.5) (max-min)/(N-2)
+    sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
+    sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
+    x0 = vol.min_bound[0] + (ix0.astype(jnp.float32) - 0.5) * sx
+    y0 = vol.min_bound[1] + (iy0.astype(jnp.float32) - 0.5) * sy
+    return TubeBundle(slabs=slabs, x0=x0, y0=y0)
+
+
+def _tube_scales(vol: DensityVolume):
+    w, h, d = vol.sizes
+    sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
+    sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
+    return sx, sy
+
+
+def _cross_section(slab, wx, wy):
+    """Weighted (TW x TW) reduction of one slab for all rays.
+
+    slab: (4, TW, TW, P); wx/wy: lists of TW weight arrays, either
+    (P, R) (per-ray march) or (P,) (chief-ray march).  Returns 4 channel
+    arrays shaped like the weights: (gx, gy, gz, n-1).  All operations
+    are elementwise with the large axis minor — no gathers.
+    """
+    tw = len(wx)
+    per_ray = wx[0].ndim == 2
+    outs = []
+    for c in range(4):
+        acc = None
+        for j in range(tw):
+            inner = None
+            for i in range(tw):
+                col = slab[c, j, i]                # (P,)
+                if per_ray:
+                    col = col[:, None]             # (P, 1) -> bcast (P, R)
+                term = wx[i] * col
+                inner = term if inner is None else inner + term
+            term = wy[j] * inner
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return outs
+
+
+def _hat_weights(u, tw: int):
+    """Linear-interpolation hat weights over the tube's integer grid.
+
+    For fractional coordinate ``u`` in tube-local voxel units, weight of
+    column i is max(0, 1 - |u - i|) — exactly the trilinear kernel, with
+    clamping to the tube edges (mirrors the reference's clamped texture
+    addressing for rays near the tube border).
+    """
+    uc = jnp.clip(u, 0.0, tw - 1.0)
+    return [jnp.maximum(0.0, 1.0 - jnp.abs(uc - i)) for i in range(tw)]
+
+
+def march_tubes(vol: DensityVolume, tubes: TubeBundle,
+                x, y, z, dirx, diry, dirz,
+                algorithm: int = 2) -> Tuple:
+    """March (P, R) ray fans through their tubes with a z-slab scan.
+
+    Args:
+      x, y, z: (P, R) world positions (marcher frame).
+      dirx..dirz: (P, R) unit directions (dirz < 0: toward the sensor).
+      algorithm: 1 = Euler, otherwise RK4 (in the z parametrization).
+
+    Returns:
+      (x, y, z, dirx, diry, dirz) after traversal.  Rays that do not
+      intersect the volume's z range pass through unchanged (the
+      reference's miss semantics); lateral tube clamping mirrors the
+      clamped texture addressing.
+    """
+    w, h, d = vol.sizes
+    tw = tubes.slabs.shape[2]
+    sx, sy = _tube_scales(vol)
+    z_max = vol.max_bound[2]
+    z_min = vol.min_bound[2]
+    dz_slab = (z_max - z_min) / (d - 2.0)   # z per texture voxel
+    # slab k spans lookup z in [k, k+1]; world z of slab plane k:
+    # z = min + (k - 0.5) dz  (inverse of the lookup map)
+
+    # advance rays to the volume's entry plane (z = z_max) if above it
+    # (rays march toward -z; rays already below the volume never enter)
+    t_entry = (z_max - z) / dirz
+    above = z >= z_max
+    adv = jnp.where(above, jnp.maximum(t_entry, 0.0), 0.0)
+    x = x + dirx * adv
+    y = y + diry * adv
+    z = z + dirz * adv
+    inside = (z <= z_max) & (z >= z_min) & (dirz < 0)
+
+    # Sharma variables: T = n * dir; n at entry ~ interpolated later, use
+    # 1 + field mean as a start (first slab sample corrects immediately)
+    n0 = 1.0 + vol.data_min
+    Tx = n0 * dirx
+    Ty = n0 * diry
+    Tz = n0 * dirz
+
+    per_ray = x.ndim == 2
+    x0 = tubes.x0[:, None] if per_ray else tubes.x0
+    y0 = tubes.y0[:, None] if per_ray else tubes.y0
+
+    def sample(slab_lo, slab_hi, px, py, tz):
+        """Trilinear sample between two slabs at per-ray (px, py, tz)."""
+        ux = (px - x0) / sx
+        uy = (py - y0) / sy
+        wx = _hat_weights(ux, tw)
+        wy = _hat_weights(uy, tw)
+        lo = _cross_section(slab_lo, wx, wy)
+        hi = _cross_section(slab_hi, wx, wy)
+        tzc = jnp.clip(tz, 0.0, 1.0)
+        return [l + tzc * (h_ - l) for l, h_ in zip(lo, hi)]
+
+    def deriv(slab_lo, slab_hi, state, z_plane, dz_off):
+        """ODE right-hand side at z = z_plane + dz_off."""
+        px, py, Tx, Ty, Tz = state
+        tz = dz_off / dz_slab
+        gx, gy, gz, nm1 = sample(slab_lo, slab_hi, px, py, tz)
+        n = 1.0 + nm1
+        inv_Tz = 1.0 / Tz
+        g = n * inv_Tz                      # ds/dz (negative: T_z < 0)
+        return (Tx * inv_Tz, Ty * inv_Tz,
+                g * gx, g * gy, g * gz)
+
+    def step(carry, slabs_pair):
+        x, y, z, Tx, Ty, Tz, active = carry
+        slab_lo, slab_hi, z_plane = slabs_pair
+        # rays march -z, landing exactly on each voxel plane; a ray steps
+        # whenever it is still above the current plane (float32-safe: the
+        # step length comes from the actual z, so accumulated rounding is
+        # self-correcting).  All AABB-advanced rays enter at z_max, so
+        # active rays step at every scan iteration after their entry.
+        in_band = active & (z > z_plane)
+        hstep = -(z - z_plane)              # negative z displacement
+
+        def rhs(px, py, tx, ty, tzc, z_at):
+            return deriv(slab_lo, slab_hi, (px, py, tx, ty, tzc),
+                         z_plane, z_at - z_plane)
+
+        if algorithm == 1:
+            dxdz, dydz, dTx, dTy, dTz = rhs(x, y, Tx, Ty, Tz, z)
+            x_n = x + hstep * dxdz
+            y_n = y + hstep * dydz
+            Tx_n = Tx + hstep * dTx
+            Ty_n = Ty + hstep * dTy
+            Tz_n = Tz + hstep * dTz
+        else:
+            k1 = rhs(x, y, Tx, Ty, Tz, z)
+            h2 = hstep / 2.0
+            k2 = rhs(x + h2 * k1[0], y + h2 * k1[1],
+                     Tx + h2 * k1[2], Ty + h2 * k1[3], Tz + h2 * k1[4],
+                     z + h2)
+            k3 = rhs(x + h2 * k2[0], y + h2 * k2[1],
+                     Tx + h2 * k2[2], Ty + h2 * k2[3], Tz + h2 * k2[4],
+                     z + h2)
+            k4 = rhs(x + hstep * k3[0], y + hstep * k3[1],
+                     Tx + hstep * k3[2], Ty + hstep * k3[3],
+                     Tz + hstep * k3[4], z + hstep)
+            s = hstep / 6.0
+            x_n = x + s * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            y_n = y + s * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+            Tx_n = Tx + s * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+            Ty_n = Ty + s * (k1[3] + 2 * k2[3] + 2 * k3[3] + k4[3])
+            Tz_n = Tz + s * (k1[4] + 2 * k2[4] + 2 * k3[4] + k4[4])
+        z_n = jnp.full_like(z, 1.0) * z_plane
+
+        sel = in_band
+        x = jnp.where(sel, x_n, x)
+        y = jnp.where(sel, y_n, y)
+        z = jnp.where(sel, z_n, z)
+        Tx = jnp.where(sel, Tx_n, Tx)
+        Ty = jnp.where(sel, Ty_n, Ty)
+        Tz = jnp.where(sel, Tz_n, Tz)
+        return (x, y, z, Tx, Ty, Tz, active), None
+
+    # scan from the top slab pair down: landing plane k goes d-2 .. 0 in
+    # voxel space; world z of voxel plane k is min + (k - 0.5) dz.  Rays
+    # land exactly on plane k each step, so the final state sits half a
+    # voxel past z_min with clamped boundary values — the same half-step
+    # boundary fuzz the reference's arc-length marcher exhibits.
+    ks = jnp.arange(d - 2, -1, -1, dtype=jnp.int32)
+    z_planes = z_min + (ks.astype(jnp.float32) - 0.5) * dz_slab
+    # reverse-ordered slab pairs as scanned inputs (flip, not gather)
+    slab_lo = jnp.flip(tubes.slabs[:-1], axis=0)   # (S, 4, TW, TW, P)
+    slab_hi = jnp.flip(tubes.slabs[1:], axis=0)
+
+    carry = (x, y, z, Tx, Ty, Tz, inside)
+    (x, y, z, Tx, Ty, Tz, _), _ = jax.lax.scan(
+        step, carry, (slab_lo, slab_hi, z_planes))
+
+    # back to unit directions
+    Tn = jnp.sqrt(Tx * Tx + Ty * Ty + Tz * Tz)
+    dirx_f = jnp.where(inside, Tx / Tn, dirx)
+    diry_f = jnp.where(inside, Ty / Tn, diry)
+    dirz_f = jnp.where(inside, Tz / Tn, dirz)
+    return x, y, z, dirx_f, diry_f, dirz_f
+
+
+def march_chief_deltas(vol: DensityVolume, tubes: TubeBundle,
+                       xs, ys, zs, dcx, dcy, dcz,
+                       algorithm: int = 2):
+    """March one chief ray per particle; return its exit plane and the
+    curvature deltas to impose on the particle's whole ray fan.
+
+    All R rays of a source point differ by at most the lens-cone width
+    (~1 um for the BOS defaults) — orders of magnitude below the voxel
+    scale — so their trajectories through the volume are identical to
+    float precision.  Marching P chief rays and broadcasting the
+    (position, direction) deltas is the TPU-native equivalent of the
+    reference redundantly marching every thread through the same texels.
+
+    Args: (P,) chief positions/directions.  Returns
+    ``(z_exit, dpos_x, dpos_y, ddir_x, ddir_y, ddir_z)``, each (P,),
+    where dpos is the displacement relative to the straight-line
+    continuation at the exit plane.
+    """
+    x1, y1, z1, dx1, dy1, dz1 = march_tubes(
+        vol, tubes, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm)
+    t = (z1 - zs) / dcz
+    dpos_x = x1 - (xs + dcx * t)
+    dpos_y = y1 - (ys + dcy * t)
+    return z1, dpos_x, dpos_y, dx1 - dcx, dy1 - dcy, dz1 - dcz
+
+
+def apply_chief_deltas(deltas, px, py, pz, dx, dy, dz):
+    """Advance a (P, R) ray fan through the volume using chief deltas."""
+    z_exit, dpos_x, dpos_y, ddx, ddy, ddz = deltas
+    t = (z_exit[:, None] - pz) / dz
+    px = px + dx * t + dpos_x[:, None]
+    py = py + dy * t + dpos_y[:, None]
+    pz = jnp.broadcast_to(z_exit[:, None], pz.shape)
+    ox = dx + ddx[:, None]
+    oy = dy + ddy[:, None]
+    oz = dz + ddz[:, None]
+    inv = 1.0 / jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    return px, py, pz, ox * inv, oy * inv, oz * inv

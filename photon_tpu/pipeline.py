@@ -48,6 +48,41 @@ def _lens_sample_pair(cfg: SimulationConfig, n_rays: int):
     return lens_samples(key, n_rays)
 
 
+def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
+                          scattering=None) -> bool:
+    """Whether the speed-of-light (P, R) pipeline covers this config.
+
+    Requirements: axis-aligned single-lens train, zero camera angles,
+    diffuse scattering, trilinear volume interpolation with the Euler/RK4
+    integrators, and no per-ray noise options.
+    """
+    from photon_tpu.models.render_fast import _axis_aligned
+
+    dg = cfg.density_gradients
+    return (scattering is None
+            and cfg.camera_design.x_camera_angle == 0.0
+            and cfg.camera_design.y_camera_angle == 0.0
+            and _axis_aligned(setup)
+            and not dg.add_pos_noise and not dg.add_ngrad_noise
+            and int(dg.interpolation_scheme) == 1
+            and int(dg.ray_tracing_algorithm) in (1, 2))
+
+
+def _render(cfg: SimulationConfig, setup: CameraSetup, source, r1, r2,
+            march_fn=None, vol=None, scattering=None,
+            rays_per_chunk: int = 2_000_000):
+    """Dispatch to the fast SoA renderer when the config allows it."""
+    if vol is not None or march_fn is None:
+        if can_use_fast_renderer(cfg, setup, scattering):
+            from photon_tpu.models.render_fast import render_image_fast
+            return render_image_fast(
+                cfg, setup, source, r1, r2, vol=vol,
+                algorithm=int(cfg.density_gradients.ray_tracing_algorithm))
+    from photon_tpu.models.render import render_image
+    return render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
+                        scattering=scattering, rays_per_chunk=rays_per_chunk)
+
+
 def _march_fn_for(cfg: SimulationConfig, enable: bool):
     """Build the density-gradient marching stage, or None."""
     if not enable:
@@ -80,17 +115,28 @@ def run_bos(cfg: SimulationConfig,
     source, dot_x, dot_y = bos_source(cfg, setup, rng)
     r1, r2 = _lens_sample_pair(cfg, source.lightray_number_per_particle)
 
+    fast_ok = can_use_fast_renderer(cfg, setup)
+    vol = None
+    if bool(cfg.density_gradients.density_gradient_filename):
+        from photon_tpu.volume import load_density_volume
+        vol = load_density_volume(
+            cfg.density_gradients.density_gradient_filename,
+            gladstone_dale=cfg.density_gradients.gladstone_dale)
+
     images, raws = {}, {}
     key = jax.random.key(cfg.seed + 7)
     for name, gradients in (("bos_pattern_image_1", False),
                             ("bos_pattern_image_2", True)):
         # im1 always renders without gradients, im2 with them — regardless
         # of the config flag (ref: run_simulation_02.py:2034, 2064)
-        march_fn = _march_fn_for(
-            cfg, gradients
-            and bool(cfg.density_gradients.density_gradient_filename))
-        raw = render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
-                           rays_per_chunk=rays_per_chunk)
+        use_vol = vol if gradients else None
+        if fast_ok:
+            raw = _render(cfg, setup, source, r1, r2, vol=use_vol)
+        else:
+            march_fn = _march_fn_for(cfg, gradients and vol is not None)
+            raw = render_image(cfg, setup, source, r1, r2,
+                               march_fn=march_fn,
+                               rays_per_chunk=rays_per_chunk)
         key, sub = jax.random.split(key)
         I, I_raw = postprocess(cfg, raw, key=sub)
         images[name], raws[name] = I, I_raw
@@ -123,11 +169,14 @@ def run_piv(cfg: SimulationConfig,
     for frame_index in pf.frame_vector:
         source = piv_source(cfg, setup, frame_index,
                             diameter_index_distribution=diameter_idx, rng=rng)
-        march_fn = _march_fn_for(
-            cfg, cfg.density_gradients.simulate_density_gradients)
-        raw = render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
-                           scattering=scattering,
-                           rays_per_chunk=rays_per_chunk)
+        gradients = cfg.density_gradients.simulate_density_gradients
+        if not gradients and can_use_fast_renderer(cfg, setup, scattering):
+            raw = _render(cfg, setup, source, r1, r2)
+        else:
+            march_fn = _march_fn_for(cfg, gradients)
+            raw = render_image(cfg, setup, source, r1, r2,
+                               march_fn=march_fn, scattering=scattering,
+                               rays_per_chunk=rays_per_chunk)
         key, sub = jax.random.split(key)
         name = f"particle_image_frame_{frame_index:04d}"
         images[name], raws[name] = postprocess(cfg, raw, key=sub)
@@ -151,8 +200,11 @@ def run_cal(cfg: SimulationConfig,
     key = jax.random.key(cfg.seed + 7)
     for plane in range(int(cg.calibration_plane_number)):
         source = calibration_source(cfg, setup, plane, rng)
-        raw = render_image(cfg, setup, source, r1, r2,
-                           rays_per_chunk=rays_per_chunk)
+        if can_use_fast_renderer(cfg, setup):
+            raw = _render(cfg, setup, source, r1, r2)
+        else:
+            raw = render_image(cfg, setup, source, r1, r2,
+                               rays_per_chunk=rays_per_chunk)
         key, sub = jax.random.split(key)
         name = f"calibration_image_plane_{plane + 1:04d}"
         images[name], raws[name] = postprocess(cfg, raw, key=sub)
