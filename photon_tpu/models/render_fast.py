@@ -147,6 +147,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       particles_per_chunk: Optional[int] = None,
                       chief_march: bool = True,
                       per_ray_splat: bool = False,
+                      scattering=None,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
@@ -186,6 +187,35 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                    float(st.back_surface_radius[0]),
                    float(st.refractive_index[0]),
                    float(st.transmission_ratio[0]))
+
+    # Mie scattering: the per-ray scattering angles within a particle's
+    # 1-um lens cone are identical to ~1e-6 rad, so the irradiance lookup
+    # collapses to one table interpolation per particle
+    # (ref per-ray version: parallel_ray_tracing.cu:144-210)
+    mie_irr = None
+    if scattering is not None:
+        angles = np.asarray(scattering["scattering_angle"])
+        table = np.asarray(scattering["scattering_irradiance"],
+                           dtype=np.float32)              # (A, D)
+        beam = np.asarray(scattering["beam_propogation_vector"],
+                          dtype=np.float64)
+        diam_idx = np.asarray(source.diameter_index, np.int32)
+        dden = params.image_distance - np.asarray(source.z, np.float64)
+        ctx = np.asarray(source.x, np.float64) / dden
+        cty = np.asarray(source.y, np.float64) / dden
+        cinv = 1.0 / np.sqrt(ctx * ctx + cty * cty + 1.0)
+        # world frame == camera frame on this (zero-angle) path
+        cosang = np.clip(beam[0] * ctx * cinv + beam[1] * cty * cinv
+                         + beam[2] * (-cinv), -1.0, 1.0)
+        ang = np.arccos(cosang)
+        a = (ang - angles[0]) / (angles[1] - angles[0])
+        a0 = np.clip(np.floor(a).astype(np.int32), 0, table.shape[0] - 2)
+        frac = (a - a0).astype(np.float32)
+        rows = table[:, :].T[diam_idx]                    # (P, A)
+        irr_l = rows[np.arange(len(a0)), a0]
+        irr_u = rows[np.arange(len(a0)), a0 + 1]
+        mie_irr = jnp.asarray(irr_l + frac * (irr_u - irr_l))
+        rad = rad * mie_irr      # fold per-particle irradiance into radiance
 
     tubes = None
     if vol is not None:

@@ -59,8 +59,7 @@ def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
     from photon_tpu.models.render_fast import _axis_aligned
 
     dg = cfg.density_gradients
-    return (scattering is None
-            and cfg.camera_design.x_camera_angle == 0.0
+    return (cfg.camera_design.x_camera_angle == 0.0
             and cfg.camera_design.y_camera_angle == 0.0
             and _axis_aligned(setup)
             and not dg.add_pos_noise and not dg.add_ngrad_noise
@@ -77,7 +76,8 @@ def _render(cfg: SimulationConfig, setup: CameraSetup, source, r1, r2,
             from photon_tpu.models.render_fast import render_image_fast
             return render_image_fast(
                 cfg, setup, source, r1, r2, vol=vol,
-                algorithm=int(cfg.density_gradients.ray_tracing_algorithm))
+                algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
+                scattering=scattering)
     from photon_tpu.models.render import render_image
     return render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
                         scattering=scattering, rays_per_chunk=rays_per_chunk)
@@ -171,7 +171,7 @@ def run_piv(cfg: SimulationConfig,
                             diameter_index_distribution=diameter_idx, rng=rng)
         gradients = cfg.density_gradients.simulate_density_gradients
         if not gradients and can_use_fast_renderer(cfg, setup, scattering):
-            raw = _render(cfg, setup, source, r1, r2)
+            raw = _render(cfg, setup, source, r1, r2, scattering=scattering)
         else:
             march_fn = _march_fn_for(cfg, gradients)
             raw = render_image(cfg, setup, source, r1, r2,
