@@ -22,6 +22,7 @@ semantics oracle; tests drive both and compare images.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -148,6 +149,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       chief_march: bool = True,
                       per_ray_splat: bool = False,
                       scattering=None,
+                      mesh=None,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
@@ -338,6 +340,55 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                               nx=nx, ny=ny,
                               diameter=params.diffraction_diameter,
                               patch=patch)
+
+    # ---- multi-chip: particles sharded over the mesh, image psum'd ----
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        n_dev = mesh.devices.size
+        axis = mesh.axis_names[0]
+        pad = (-P) % n_dev
+
+        def padp(a, fill=0.0):
+            if pad == 0:
+                return jnp.asarray(a)
+            return jnp.concatenate([
+                jnp.asarray(a),
+                jnp.full((pad,) + np.asarray(a).shape[1:], fill,
+                         np.asarray(a).dtype)])
+
+        xs_s, ys_s = padp(xs), padp(ys)
+        zs_s, rad_s = padp(zs, 1.0), padp(rad)
+        if tubes is not None:
+            slabs_s = padp(jnp.moveaxis(tubes.slabs, -1, 0))
+            x0_s, y0_s = padp(tubes.x0), padp(tubes.y0)
+        else:
+            slabs_s = x0_s = y0_s = None
+
+        ray_shard = NamedSharding(mesh, Pspec(axis))
+
+        in_specs = (Pspec(axis),) * 4 + (
+            (Pspec(axis), Pspec(axis), Pspec(axis))
+            if tubes is not None else (Pspec(), Pspec(), Pspec()))
+
+        @partial(shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=Pspec())
+        def run_sharded(x, y, z, r, sl, tx0, ty0):
+            sl2 = jnp.moveaxis(sl, 0, -1) if tubes is not None else None
+            img = render_chunk(x, y, z, r, sl2, tx0, ty0)
+            return jax.lax.psum(img, axis)
+
+        args = [jax.device_put(a, ray_shard)
+                for a in (xs_s, ys_s, zs_s, rad_s)]
+        if tubes is not None:
+            args += [jax.device_put(slabs_s, ray_shard),
+                     jax.device_put(x0_s, ray_shard),
+                     jax.device_put(y0_s, ray_shard)]
+        else:
+            zero = jnp.zeros((1,), jnp.float32)
+            args += [zero, zero, zero]
+        return jax.jit(run_sharded)(*args)
 
     # ---- chunking over particles --------------------------------------
     if particles_per_chunk is None or particles_per_chunk >= P:

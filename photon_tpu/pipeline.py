@@ -141,9 +141,48 @@ def run_bos(cfg: SimulationConfig,
         I, I_raw = postprocess(cfg, raw, key=sub)
         images[name], raws[name] = I, I_raw
 
+        if cfg.output_data.save_lightrays:
+            _save_lightrays(cfg, setup, source, r1, r2,
+                            vol if gradients else None,
+                            "im2" if gradients else "im1")
+
     return SimulationResult(images=images, raw_images=raws, setup=setup,
                             sources={"bos": source},
                             dot_positions={"x": dot_x, "y": dot_y})
+
+
+def _save_lightrays(cfg: SimulationConfig, setup: CameraSetup, source,
+                    r1, r2, vol, tag: str) -> None:
+    """Write final ray pos/dir dumps like the reference's per-chunk bins.
+
+    (ref: parallel_ray_tracing.cu:3561-3670; consumed by
+    photon_tpu.analysis.light_rays)
+    """
+    import os
+
+    from photon_tpu.models.render import render_rays
+    from photon_tpu.ops.march import make_march_fn
+
+    march_fn = None
+    if vol is not None:
+        march_fn = make_march_fn(
+            vol, algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
+            interpolation_scheme=int(
+                cfg.density_gradients.interpolation_scheme))
+    rays = render_rays(cfg, setup, source, r1, r2, march_fn=march_fn)
+    base = cfg.output_data.image_directory or "."
+    pos_dir = cfg.output_data.lightray_positions_filepath \
+        or os.path.join(base, "light-ray-positions", tag)
+    dir_dir = cfg.output_data.lightray_directions_filepath \
+        or os.path.join(base, "light-ray-directions", tag)
+    os.makedirs(pos_dir, exist_ok=True)
+    os.makedirs(dir_dir, exist_ok=True)
+    n_save = int(cfg.output_data.num_lightrays_save) or rays.pos.shape[0]
+    # the reference writes pos and dir bins to separate directories
+    np.asarray(rays.pos)[:n_save].astype(np.float32).tofile(
+        os.path.join(pos_dir, "pos_0000.bin"))
+    np.asarray(rays.dir)[:n_save].astype(np.float32).tofile(
+        os.path.join(dir_dir, "dir_0000.bin"))
 
 
 def run_piv(cfg: SimulationConfig,

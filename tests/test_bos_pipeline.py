@@ -137,3 +137,47 @@ def test_bos_image_pair_pipeline_runs(tmp_path):
     img = read_tiff16(str(tmp_path / "out" / "tif" / "bos_pattern_image_1.tif"))
     assert img.shape == (256, 256)
     assert img.max() > 0
+
+
+def test_bos_saved_lightrays_deflection_pipeline(tmp_path):
+    """Full C18 parity flow: save_lightrays bins -> load -> per-dot
+    displacement matches the paraxial oracle (SURVEY.md §3.5)."""
+    from photon_tpu.analysis.fields import save_density_nrrd
+    from photon_tpu.analysis.light_rays import (load_ray_data,
+                                                process_lightray_data)
+    from photon_tpu.pipeline import run_bos
+
+    cfg = bos_case("apparent", n_dots=5, rays=32)
+    setup = camera_setup(cfg)
+    vol, eps, Z_D = gradient_volume_between(setup, n=16)
+    # write the volume so run_bos picks it up
+    vol_path = str(tmp_path / "rho.nrrd")
+    n = 16
+    extent = 4e5
+    x = np.linspace(-extent / 2, extent / 2, n)
+    z_dots = setup.object_distance
+    z = np.linspace(z_dots - 0.6 * setup.object_distance,
+                    z_dots - 0.1 * setup.object_distance, n)
+    rho = 1.225 + 4.0 * (x[:, None, None] - x.min()) / (x.max() - x.min()) \
+        * np.ones((1, n, n))
+    save_density_nrrd(vol_path, rho, x, x, z)
+    cfg.density_gradients.density_gradient_filename = vol_path
+    cfg.output_data.save_lightrays = True
+    cfg.output_data.num_lightrays_save = 0   # 0 -> save all
+    cfg.output_data.image_directory = str(tmp_path)
+
+    result = run_bos(cfg)
+    pos1 = load_ray_data(str(tmp_path / "light-ray-positions" / "im1"))
+    pos2 = load_ray_data(str(tmp_path / "light-ray-positions" / "im2"))
+    assert pos1.shape == pos2.shape and pos1.shape[0] > 0
+
+    src = result.sources["bos"]
+    rays_per_dot = src.num_rays // len(result.dot_positions["x"])
+    res = process_lightray_data(
+        pos1, pos2, rays_per_dot=rays_per_dot,
+        pixel_pitch=cfg.camera_design.pixel_pitch, nx=256, ny=256)
+    disp = res["displacement"][:, 0]
+    expected_px = setup.magnification * Z_D * eps \
+        / cfg.camera_design.pixel_pitch
+    np.testing.assert_allclose(np.abs(disp[np.isfinite(disp)]),
+                               expected_px, rtol=0.10)
