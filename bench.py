@@ -100,12 +100,43 @@ def main() -> int:
     rays_per_s = total_rays / best
     print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
 
-    print(json.dumps({
+    # secondary: forward+backward (gradient w.r.t. the density field)
+    fwd_bwd_rays_per_s = None
+    if os.environ.get("PHOTON_BENCH_BWD", "1") == "1":
+        import jax
+
+        field0 = vol.field
+
+        def loss(field):
+            v = vol._replace(field=field)
+            img = render_image_fast(cfg, setup, source, r1, r2, vol=v)
+            return jnp.mean(img * img)
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        t0 = time.time()
+        l, g = vg(field0)
+        g.block_until_ready()
+        print(f"# fwd+bwd compile+1st: {time.time() - t0:.1f}s "
+              f"grad norm {float(jnp.abs(g).sum()):.3g}", file=sys.stderr)
+        bwd_times = []
+        for _ in range(max(reps - 1, 1)):
+            t0 = time.time()
+            l, g = vg(field0)
+            g.block_until_ready()
+            bwd_times.append(time.time() - t0)
+        fwd_bwd_rays_per_s = total_rays / min(bwd_times)
+        print(f"# fwd+bwd times: {[f'{t:.3f}' for t in bwd_times]}",
+              file=sys.stderr)
+
+    record = {
         "metric": "bos_rk4_forward_rays_per_s",
         "value": rays_per_s,
         "unit": "rays/s/chip",
         "vs_baseline": rays_per_s / BASELINE_RAYS_S,
-    }))
+    }
+    if fwd_bwd_rays_per_s is not None:
+        record["fwd_bwd_rays_per_s"] = fwd_bwd_rays_per_s
+    print(json.dumps(record))
     return 0
 
 

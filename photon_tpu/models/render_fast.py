@@ -150,6 +150,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       per_ray_splat: bool = False,
                       scattering=None,
                       mesh=None,
+                      use_pallas: bool = False,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
@@ -261,9 +262,22 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                 ctx = xs / dden
                 cty = ys / dden
                 cinv = 1.0 / jnp.sqrt(ctx * ctx + cty * cty + 1.0)
-                deltas = march_chief_deltas(
-                    vol, tb, xs, ys, zs - shift,
-                    ctx * cinv, cty * cinv, -cinv, algorithm=algorithm)
+                cdx, cdy, cdz = ctx * cinv, cty * cinv, -cinv
+                zs_m = zs - shift
+                if use_pallas:
+                    from photon_tpu.ops.march_pallas import \
+                        march_chief_pallas
+                    x1, y1, z1, dx1, dy1, dz1 = march_chief_pallas(
+                        vol, tb, xs, ys, zs_m, cdx, cdy, cdz,
+                        algorithm=algorithm)
+                    t_c = (z1 - zs_m) / cdz
+                    deltas = (z1, x1 - (xs + cdx * t_c),
+                              y1 - (ys + cdy * t_c),
+                              dx1 - cdx, dy1 - cdy, dz1 - cdz)
+                else:
+                    deltas = march_chief_deltas(
+                        vol, tb, xs, ys, zs_m, cdx, cdy, cdz,
+                        algorithm=algorithm)
                 px2, py2, pz2, dx, dy, dz = apply_chief_deltas(
                     deltas, px, py, pz - shift, dx, dy, dz)
             else:
