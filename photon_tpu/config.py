@@ -177,6 +177,9 @@ class SimulationConfig:
     density_gradients: DensityGradients = field(default_factory=DensityGradients)
     output_data: OutputData = field(default_factory=OutputData)
     seed: int = 1105                         # scene/lens-sample RNG seed
+    # reproduce the reference's exact lens-sample stream (glibc srand(10),
+    # ref: parallel_ray_tracing.cu:3228) instead of jax.random draws
+    reference_lens_rng: bool = False
 
     # -- serialization ----------------------------------------------------
 
@@ -316,4 +319,6 @@ def _config_from_dict(d: dict) -> SimulationConfig:
             setattr(cfg, key, _section_from_dict(cls, d[key]))
     if "seed" in d:
         cfg.seed = int(d["seed"])
+    if "reference_lens_rng" in d:
+        cfg.reference_lens_rng = bool(d["reference_lens_rng"])
     return cfg

@@ -357,6 +357,50 @@ def _load_particle_frame(pf, frame_index: int, n: int):
             np.asarray(d["Z"]).ravel()[:n])
 
 
+def bos_image_source(cfg: SimulationConfig, setup: CameraSetup,
+                     image: np.ndarray,
+                     x_range: Optional[Tuple[float, float]] = None,
+                     y_range: Optional[Tuple[float, float]] = None,
+                     ) -> LightfieldSource:
+    """Image-driven BOS target: every nonzero pixel emits a source point.
+
+    (ref: run_simulation_02.generate_bos_image_lightfield_data:1554-1696 —
+    the reference reads a PNG via matplotlib; here any 2-D grayscale array
+    works, e.g. from utils.tiff_io.read_tiff16 or np.load.  Coordinate
+    conventions match: columns are mirrored into x, rows descend from
+    Y_Max, pixel intensity becomes radiance.)
+    """
+    bp = cfg.bos_pattern
+    x_min, x_max = x_range or (bp.X_Min, bp.X_Max)
+    y_min, y_max = y_range or (bp.Y_Min, bp.Y_Max)
+    img = np.asarray(image)
+    height, width = img.shape
+    pixel_width = (x_max - x_min) / width
+
+    rows, cols = np.nonzero(img > 0)
+    x = x_min + (width - cols) * pixel_width + pixel_width / 2.0
+    y = y_max - (rows * pixel_width + pixel_width / 2.0)
+    radiance = img[rows, cols].astype(np.float64)
+
+    z = np.zeros_like(x)
+    x, y, z = rotate_coordinates(x, y, z,
+                                 cfg.camera_design.x_camera_angle,
+                                 cfg.camera_design.y_camera_angle, 0.0)
+    z = np.asarray(z).ravel() + setup.z_object
+
+    return LightfieldSource(
+        x=np.asarray(x, np.float32).ravel(),
+        y=np.asarray(y, np.float32).ravel(),
+        z=z.astype(np.float32),
+        radiance=radiance,
+        diameter_index=np.zeros(x.size, dtype=np.int32),
+        z_offset=float(setup.z_offset),
+        object_distance=float(setup.object_distance),
+        lightray_number_per_particle=int(bp.lightray_number_per_particle),
+        source_point_number=min(10000, int(x.size)),
+    )
+
+
 def displace_source(src: LightfieldSource, dx: float = 0.0, dy: float = 0.0,
                     dz: float = 0.0) -> LightfieldSource:
     """Uniformly displace a source (frame-pair generation for PIV/BOS)."""

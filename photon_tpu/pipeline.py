@@ -42,8 +42,12 @@ def _lens_sample_pair(cfg: SimulationConfig, n_rays: int):
     """Per-ray lens-aperture samples, shared by all source points.
 
     (analogue of generate_random_numbers_for_lightrays,
-    ref: run_simulation_02.py:1699-1722)
+    ref: run_simulation_02.py:1699-1722; with ``reference_lens_rng`` the
+    exact glibc srand(10) stream of the CUDA host is reproduced)
     """
+    if cfg.reference_lens_rng:
+        from photon_tpu.utils.rng import reference_lens_samples
+        return reference_lens_samples(int(n_rays))
     key = jax.random.key(cfg.seed)
     return lens_samples(key, n_rays)
 

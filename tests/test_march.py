@@ -129,6 +129,36 @@ def test_rk4_matches_euler_small_steps():
     np.testing.assert_allclose(eps_r[2:-2], eps_expected, rtol=tol)
 
 
+@pytest.mark.parametrize("algorithm", [3, 4])
+def test_uniform_gradient_deflection_rk45_ab4(algorithm):
+    """The adaptive RK45 and AB4 integrators hit the same oracle."""
+    grad_rho, extent, depth, rho0 = 5.0, 3e5, 1e5, 1.225
+    vol, *_ = make_gradient_volume(grad_rho, n=24, extent=extent,
+                                   depth=depth, rho0=rho0)
+    rays = straight_rays(8, vol)
+    out = march_rays(vol, rays, algorithm=algorithm)
+    K = 0.225e-3
+    n0 = 1.0 + K * (rho0 + grad_rho / 2.0)
+    eps_expected = K * grad_rho / extent * depth / n0
+    dirs = np.asarray(out.dir)
+    eps = dirs[:, 0] / dirs[:, 2]
+    # boundary step quantization allows a couple of steps of slack
+    tol = 3.0 * vol.step_size / depth
+    np.testing.assert_allclose(eps[2:-2], eps_expected, rtol=tol)
+
+
+def test_tricubic_march_matches_trilinear():
+    """Tricubic B-spline interpolation agrees with trilinear on a smooth
+    (linear) refractive-index field."""
+    vol, *_ = make_gradient_volume(3.0, n=20)
+    rays = straight_rays(6, vol)
+    out_tri = march_rays(vol, rays, algorithm=2, interpolation_scheme=1)
+    out_cub = march_rays(vol, rays, algorithm=2, interpolation_scheme=2)
+    eps_tri = np.asarray(out_tri.dir)[:, 0] / np.asarray(out_tri.dir)[:, 2]
+    eps_cub = np.asarray(out_cub.dir)[:, 0] / np.asarray(out_cub.dir)[:, 2]
+    np.testing.assert_allclose(eps_cub[1:-1], eps_tri[1:-1], rtol=0.05)
+
+
 def test_differentiable_scan_matches_while():
     vol, _, _ = make_gradient_volume(5.0, n=16)
     rays = straight_rays(8, vol)

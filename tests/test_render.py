@@ -138,3 +138,16 @@ def test_render_differentiable_wrt_dot_position():
     expected = m / cfg.camera_design.pixel_pitch
     assert np.isfinite(float(g))
     assert float(g) == pytest.approx(expected, rel=0.15)
+
+
+def test_rotated_camera_renders():
+    """Nonzero camera angles exercise the rotation path end-to-end
+    (ref: parallel_ray_tracing.cu:2036-2129) through the exact renderer."""
+    cfg = tiny_cfg("general")
+    cfg.camera_design.x_camera_angle = np.deg2rad(2.0)
+    cfg.camera_design.y_camera_angle = np.deg2rad(-1.0)
+    img, setup, params = render_point(cfg, 0.0, 0.0)
+    assert np.isfinite(img).all()
+    assert img.sum() > 0
+    # rotation matrices must be applied (non-identity)
+    assert not np.allclose(setup.rotation_matrix, np.eye(3))
