@@ -99,6 +99,33 @@ def ray_deflections(pos1: np.ndarray, pos2: np.ndarray,
     return out
 
 
+def remove_edge_dots(dot_pos: np.ndarray, values: np.ndarray,
+                     nx: int, ny: int, margin: float = 5.0):
+    """Drop dots within ``margin`` pixels of the sensor border.
+
+    (ref: light_ray_processing's edge-dot filtering before gridding)
+    Returns filtered (dot_pos, values).
+    """
+    ok = ((dot_pos[:, 0] > margin) & (dot_pos[:, 0] < nx - 1 - margin)
+          & (dot_pos[:, 1] > margin) & (dot_pos[:, 1] < ny - 1 - margin)
+          & np.isfinite(dot_pos).all(axis=1))
+    return dot_pos[ok], values[ok]
+
+
+def interpolate_to_grid(dot_pos: np.ndarray, values: np.ndarray,
+                        grid_x: np.ndarray, grid_y: np.ndarray,
+                        method: str = "linear") -> np.ndarray:
+    """Scatter -> regular-grid interpolation of per-dot quantities.
+
+    (ref: light_ray_processing's griddata step for displacement maps)
+    """
+    from scipy.interpolate import griddata
+
+    gx, gy = np.meshgrid(grid_x, grid_y, indexing="xy")
+    out = griddata(dot_pos[:, :2], values, (gx, gy), method=method)
+    return out
+
+
 def process_lightray_data(pos_im1: np.ndarray, pos_im2: np.ndarray,
                           rays_per_dot: int, pixel_pitch: float,
                           nx: int, ny: int,

@@ -27,6 +27,24 @@ def _load_config(path: str) -> SimulationConfig:
     return SimulationConfig.from_json(path)
 
 
+def make_sample(simulation_type: str, path: str) -> None:
+    """Write a ready-to-run sample parameter file.
+
+    Equivalent of the reference's create_sample_simulation_parameters.py
+    (BOS: 1000 dots x 500 rays on a 1024^2 sensor; PIV: 5e4 particles x
+    1e4 rays with Mie scattering, ref: :70-71).
+    """
+    from photon_tpu.config import default_config
+
+    cfg = default_config(simulation_type)
+    if simulation_type == "piv":
+        cfg.particle_field.particle_number = 50_000
+        cfg.particle_field.lightray_number_per_particle = 10_000
+    cfg.output_data.image_directory = f"./{simulation_type}_images"
+    cfg.to_json(path)
+    print(f"wrote {simulation_type} sample parameters -> {path}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="photon_tpu batch simulation runner")
@@ -38,7 +56,15 @@ def main(argv=None) -> int:
                         help="number of cases to run")
     parser.add_argument("--out", default=None,
                         help="output directory override")
+    parser.add_argument("--make-sample", choices=("piv", "bos", "cal"),
+                        default=None,
+                        help="write a sample parameter file to PARAMS "
+                        "and exit")
     args = parser.parse_args(argv)
+
+    if args.make_sample:
+        make_sample(args.make_sample, args.params)
+        return 0
 
     if os.path.isdir(args.params):
         files = sorted(glob.glob(os.path.join(args.params, "*.json"))
