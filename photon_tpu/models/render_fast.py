@@ -154,9 +154,9 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
-    Supports the axis-aligned camera (zero camera angles — the BOS/PIV
-    default) with 'apparent', 'thin-lens' or 'general' lens models and
-    diffuse scattering; other configurations should use
+    Supports the axis-aligned single-lens train with 'apparent',
+    'thin-lens' or 'general' lens models, camera rotation, diffuse or
+    Mie scattering; other configurations fall back to
     photon_tpu.models.render.render_image.
 
     ``chief_march``: march one chief ray per particle and broadcast its
@@ -169,9 +169,9 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     if not _axis_aligned(setup):
         raise NotImplementedError("fast path requires the axis-aligned "
                                   "single-lens train")
-    if abs(cfg.camera_design.x_camera_angle) > 0 or \
-       abs(cfg.camera_design.y_camera_angle) > 0:
-        raise NotImplementedError("fast path requires zero camera angles")
+    rotated = not np.allclose(setup.rotation_matrix, np.eye(3))
+    rot = np.asarray(setup.rotation_matrix, np.float32)
+    inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float32)
 
     P = source.num_particles
     R = int(source.lightray_number_per_particle)
@@ -221,15 +221,85 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         rad = rad * mie_irr      # fold per-particle irradiance into radiance
 
     tubes = None
+    chief = None
     if vol is not None:
-        # chief-ray entry (x, y): project each particle straight down z
-        # onto the volume top in the marcher frame (valid for the small
-        # angles of the f/8 + 1e-4-pitch-ratio ray cone)
+        # chief ray per particle (toward the lens center), world frame:
+        # its straight-line track through the volume places each slab's
+        # tube window (slanted tubes) — chief slopes reach ~0.1, several
+        # voxels of lateral drift over the volume depth, so vertical
+        # columns would miss at the field edges
         shift = jnp.float32(params.z_offset + 750e3)
-        tubes = extract_tubes(vol, xs, ys)
+        dden = params.image_distance - zs
+        ctx = xs / dden
+        cty = ys / dden
+        cinv = 1.0 / jnp.sqrt(ctx * ctx + cty * cty + 1.0)
+        cdir_cam = jnp.stack([ctx * cinv, cty * cinv, -cinv])   # (3, P)
+        cpos_cam = jnp.stack([xs, ys, zs - shift])
+        cdir_w = jnp.asarray(inv_rot) @ cdir_cam
+        cpos_w = jnp.asarray(inv_rot) @ cpos_cam
+        z_top = vol.max_bound[2]
+        t_ent = (z_top - cpos_w[2]) / cdir_w[2]
+        entry_x = cpos_w[0] + cdir_w[0] * t_ent
+        entry_y = cpos_w[1] + cdir_w[1] * t_ent
+        slope_x = cdir_w[0] / cdir_w[2]
+        slope_y = cdir_w[1] / cdir_w[2]
+        chief = (cpos_w[0], cpos_w[1], cpos_w[2],
+                 cdir_w[0], cdir_w[1], cdir_w[2])
+        tubes = extract_tubes(vol, entry_x, entry_y,
+                              slope_x=slope_x, slope_y=slope_y)
+
+    # ---- density march: per-particle chief deltas, computed once ------
+    # (marching P chief rays instead of P*R fan rays is exact to the
+    # ~1 um lens-cone width; the deltas then chunk/shard like any other
+    # per-particle array)
+    deltas6 = None
+    if vol is not None and chief_march:
+        cx_, cy_, cz_, cdx_, cdy_, cdz_ = chief
+        if use_pallas and tubes.x0.ndim == 1:
+            from photon_tpu.ops.march_pallas import march_chief_pallas
+            x1, y1, z1, dx1, dy1, dz1 = march_chief_pallas(
+                vol, tubes, cx_, cy_, cz_, cdx_, cdy_, cdz_,
+                algorithm=algorithm)
+            t_c = (z1 - cz_) / cdz_
+            deltas6 = (z1, x1 - (cx_ + cdx_ * t_c), y1 - (cy_ + cdy_ * t_c),
+                       dx1 - cdx_, dy1 - cdy_, dz1 - cdz_)
+        else:
+            deltas6 = march_chief_deltas(
+                vol, tubes, cx_, cy_, cz_, cdx_, cdy_, cdz_,
+                algorithm=algorithm)
+    has_march = deltas6 is not None
+    per_ray_march = vol is not None and not chief_march
+    shift_f = jnp.float32(params.z_offset + 750e3)
+
+    def to_world(px, py, pz, dx, dy, dz):
+        """Camera frame -> marcher/world frame (componentwise rotation)."""
+        pzs = pz - shift_f
+        if not rotated:
+            return px, py, pzs, dx, dy, dz
+        i = inv_rot
+        wx = i[0, 0] * px + i[0, 1] * py + i[0, 2] * pzs
+        wy = i[1, 0] * px + i[1, 1] * py + i[1, 2] * pzs
+        wz = i[2, 0] * px + i[2, 1] * py + i[2, 2] * pzs
+        wdx = i[0, 0] * dx + i[0, 1] * dy + i[0, 2] * dz
+        wdy = i[1, 0] * dx + i[1, 1] * dy + i[1, 2] * dz
+        wdz = i[2, 0] * dx + i[2, 1] * dy + i[2, 2] * dz
+        return wx, wy, wz, wdx, wdy, wdz
+
+    def to_camera(wx, wy, wz, wdx, wdy, wdz):
+        if not rotated:
+            return wx, wy, wz + shift_f, wdx, wdy, wdz
+        r = rot
+        px = r[0, 0] * wx + r[0, 1] * wy + r[0, 2] * wz
+        py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz
+        pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + shift_f
+        dx = r[0, 0] * wdx + r[0, 1] * wdy + r[0, 2] * wdz
+        dy = r[1, 0] * wdx + r[1, 1] * wdy + r[1, 2] * wdz
+        dz = r[2, 0] * wdx + r[2, 1] * wdy + r[2, 2] * wdz
+        inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        return px, py, pz, dx * inv, dy * inv, dz * inv
 
     # ---- per-chunk renderer (all (Pc, R) SoA) -------------------------
-    def render_chunk(xs, ys, zs, rad, tube_slabs, tube_x0, tube_y0):
+    def render_chunk(xs, ys, zs, rad, dz_exit, dpx, dpy, ddx, ddy, ddz):
         # ray generation (ref: :104-130)
         cone = params.ray_cone_pitch_ratio * params.lens_pitch
         x_lens = cone * r1 * jnp.cos(2.0 * jnp.pi * r2)    # (R,)
@@ -249,42 +319,21 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
             (rad / params.aperture_f_number ** 2)[:, None], tx.shape)
         valid = jnp.ones(tx.shape, dtype=bool)
 
-        # density-gradient stage (marcher frame: z shifted; zero camera
-        # rotation on this path)  (ref kernel :2036-2129)
-        if tube_slabs is not None:
-            from photon_tpu.ops.march_fast import TubeBundle
-            shift = jnp.float32(params.z_offset + 750e3)
-            tb = TubeBundle(slabs=tube_slabs, x0=tube_x0, y0=tube_y0)
-            if chief_march:
-                # march P chief rays (toward the lens center), then apply
-                # their curvature deltas to the whole fan
-                dden = params.image_distance - zs
-                ctx = xs / dden
-                cty = ys / dden
-                cinv = 1.0 / jnp.sqrt(ctx * ctx + cty * cty + 1.0)
-                cdx, cdy, cdz = ctx * cinv, cty * cinv, -cinv
-                zs_m = zs - shift
-                if use_pallas:
-                    from photon_tpu.ops.march_pallas import \
-                        march_chief_pallas
-                    x1, y1, z1, dx1, dy1, dz1 = march_chief_pallas(
-                        vol, tb, xs, ys, zs_m, cdx, cdy, cdz,
-                        algorithm=algorithm)
-                    t_c = (z1 - zs_m) / cdz
-                    deltas = (z1, x1 - (xs + cdx * t_c),
-                              y1 - (ys + cdy * t_c),
-                              dx1 - cdx, dy1 - cdy, dz1 - cdz)
-                else:
-                    deltas = march_chief_deltas(
-                        vol, tb, xs, ys, zs_m, cdx, cdy, cdz,
-                        algorithm=algorithm)
-                px2, py2, pz2, dx, dy, dz = apply_chief_deltas(
-                    deltas, px, py, pz - shift, dx, dy, dz)
-            else:
-                px2, py2, pz2, dx, dy, dz = march_tubes(
-                    vol, tb, px, py, pz - shift, dx, dy, dz,
-                    algorithm=algorithm)
-            px, py, pz = px2, py2, pz2 + shift
+        # density-gradient stage: apply the chief-ray curvature deltas in
+        # the marcher frame (ref kernel :2036-2129 for the frame shifts)
+        if has_march:
+            wx, wy, wz, wdx, wdy, wdz = to_world(px, py, pz, dx, dy, dz)
+            wx, wy, wz, wdx, wdy, wdz = apply_chief_deltas(
+                (dz_exit, dpx, dpy, ddx, ddy, ddz),
+                wx, wy, wz, wdx, wdy, wdz)
+            px, py, pz, dx, dy, dz = to_camera(wx, wy, wz, wdx, wdy, wdz)
+        elif per_ray_march:
+            # validation path: march every fan ray through its tube
+            # (tubes enter via closure; intended for small scenes)
+            wx, wy, wz, wdx, wdy, wdz = to_world(px, py, pz, dx, dy, dz)
+            wx, wy, wz, wdx, wdy, wdz = march_tubes(
+                vol, tubes, wx, wy, wz, wdx, wdy, wdz, algorithm=algorithm)
+            px, py, pz, dx, dy, dz = to_camera(wx, wy, wz, wdx, wdy, wdz)
 
         # lens model
         if params.lens_model == "apparent":
@@ -300,7 +349,6 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
             ix = -hx * magnification
             iy = -hy * magnification
             fdx, fdy, fdz = rdx, rdy, rdz
-            render_fraction = 1.0
         else:
             if params.lens_model == "thin-lens":
                 px, py, pz, dx, dy, dz, valid = propagate_thin_lens_soa(
@@ -316,7 +364,6 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
             ix = px + dx * t
             iy = py + dy * t
             fdx, fdy, fdz = dx, dy, dz
-            render_fraction = 0.75
 
         # pixel coordinates (mirrored x; ref: :1441-1447)
         nx, ny = params.nx, params.ny
@@ -355,6 +402,9 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                               diameter=params.diffraction_diameter,
                               patch=patch)
 
+    zero_p = jnp.zeros_like(xs)
+    d6 = deltas6 if has_march else (zero_p,) * 6
+
     # ---- multi-chip: particles sharded over the mesh, image psum'd ----
     if mesh is not None:
         from jax import shard_map
@@ -372,44 +422,22 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                 jnp.full((pad,) + np.asarray(a).shape[1:], fill,
                          np.asarray(a).dtype)])
 
-        xs_s, ys_s = padp(xs), padp(ys)
-        zs_s, rad_s = padp(zs, 1.0), padp(rad)
-        if tubes is not None:
-            slabs_s = padp(jnp.moveaxis(tubes.slabs, -1, 0))
-            x0_s, y0_s = padp(tubes.x0), padp(tubes.y0)
-        else:
-            slabs_s = x0_s = y0_s = None
-
+        sharded = [padp(xs), padp(ys), padp(zs, 1.0), padp(rad)] \
+            + [padp(a) for a in d6]
         ray_shard = NamedSharding(mesh, Pspec(axis))
 
-        in_specs = (Pspec(axis),) * 4 + (
-            (Pspec(axis), Pspec(axis), Pspec(axis))
-            if tubes is not None else (Pspec(), Pspec(), Pspec()))
-
-        @partial(shard_map, mesh=mesh, in_specs=in_specs,
+        @partial(shard_map, mesh=mesh, in_specs=(Pspec(axis),) * 10,
                  out_specs=Pspec())
-        def run_sharded(x, y, z, r, sl, tx0, ty0):
-            sl2 = jnp.moveaxis(sl, 0, -1) if tubes is not None else None
-            img = render_chunk(x, y, z, r, sl2, tx0, ty0)
+        def run_sharded(*args):
+            img = render_chunk(*args)
             return jax.lax.psum(img, axis)
 
-        args = [jax.device_put(a, ray_shard)
-                for a in (xs_s, ys_s, zs_s, rad_s)]
-        if tubes is not None:
-            args += [jax.device_put(slabs_s, ray_shard),
-                     jax.device_put(x0_s, ray_shard),
-                     jax.device_put(y0_s, ray_shard)]
-        else:
-            zero = jnp.zeros((1,), jnp.float32)
-            args += [zero, zero, zero]
-        return jax.jit(run_sharded)(*args)
+        return jax.jit(run_sharded)(
+            *[jax.device_put(a, ray_shard) for a in sharded])
 
     # ---- chunking over particles --------------------------------------
     if particles_per_chunk is None or particles_per_chunk >= P:
-        slabs = tubes.slabs if tubes is not None else None
-        tx0 = tubes.x0 if tubes is not None else None
-        ty0 = tubes.y0 if tubes is not None else None
-        return jax.jit(render_chunk)(xs, ys, zs, rad, slabs, tx0, ty0)
+        return jax.jit(render_chunk)(xs, ys, zs, rad, *d6)
 
     n_chunks = math.ceil(P / particles_per_chunk)
     pc = particles_per_chunk
@@ -421,35 +449,17 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill,
                                             a.dtype)])
 
-    xs_c = padp(xs).reshape(n_chunks, pc)
-    ys_c = padp(ys).reshape(n_chunks, pc)
-    zs_c = padp(zs, 1.0).reshape(n_chunks, pc)
-    rad_c = padp(rad).reshape(n_chunks, pc)
-
-    if tubes is not None:
-        slabs_c = padp(jnp.moveaxis(tubes.slabs, -1, 0)).reshape(
-            (n_chunks, pc) + tubes.slabs.shape[:-1])
-        x0_c = padp(tubes.x0).reshape(n_chunks, pc)
-        y0_c = padp(tubes.y0).reshape(n_chunks, pc)
-
-        @jax.jit
-        def run():
-            def body(img, c):
-                x, y, z, r, sl, tx0, ty0 = c
-                sl = jnp.moveaxis(sl, 0, -1)
-                return img + render_chunk(x, y, z, r, sl, tx0, ty0), None
-            init = jnp.zeros((params.ny, params.nx), jnp.float32)
-            img, _ = jax.lax.scan(
-                body, init, (xs_c, ys_c, zs_c, rad_c, slabs_c, x0_c, y0_c))
-            return img
-        return run()
+    chunked = [padp(xs).reshape(n_chunks, pc),
+               padp(ys).reshape(n_chunks, pc),
+               padp(zs, 1.0).reshape(n_chunks, pc),
+               padp(rad).reshape(n_chunks, pc)] \
+        + [padp(a).reshape(n_chunks, pc) for a in d6]
 
     @jax.jit
-    def run_plain():
+    def run():
         def body(img, c):
-            x, y, z, r = c
-            return img + render_chunk(x, y, z, r, None, None, None), None
+            return img + render_chunk(*c), None
         init = jnp.zeros((params.ny, params.nx), jnp.float32)
-        img, _ = jax.lax.scan(body, init, (xs_c, ys_c, zs_c, rad_c))
+        img, _ = jax.lax.scan(body, init, tuple(chunked))
         return img
-    return run_plain()
+    return run()

@@ -52,48 +52,77 @@ class TubeBundle(NamedTuple):
 
     ``slabs`` has shape (D, C=4, TW, TW, P): scan axis leading, channels
     (dn/dx, dn/dy, dn/dz, n-1), tube cross-section, particles minor.
-    ``x0``/``y0`` are the world coordinates of tube column (0, 0).
+    ``x0``/``y0`` are the world coordinates of tube column (0, 0) —
+    either (P,) for vertical tubes or (D, P) for slanted tubes whose
+    windows follow the chief-ray line through each slab.
     """
 
     slabs: jnp.ndarray      # (D, 4, TW, TW, P)
-    x0: jnp.ndarray         # (P,)
-    y0: jnp.ndarray         # (P,)
+    x0: jnp.ndarray         # (P,) or (D, P)
+    y0: jnp.ndarray         # (P,) or (D, P)
 
 
 def extract_tubes(vol: DensityVolume, particle_x, particle_y,
-                  tube_width: int = TUBE_WIDTH) -> TubeBundle:
-    """Cut a (D, TW, TW) voxel tube around each particle's (x, y).
+                  tube_width: int = TUBE_WIDTH,
+                  slope_x=None, slope_y=None) -> TubeBundle:
+    """Cut a (D, TW, TW) voxel tube around each particle's chief ray.
 
-    The tube is centered on the voxel containing the particle's chief-ray
-    entry point; interpolation uses the same clamped-texture convention as
-    the reference path, so positions are mapped through the
-    ``lookup = 1 + frac (N-2)`` coordinate (ops.interp.texture_lookup)
-    before localization.
+    With ``slope_x``/``slope_y`` (= dx/dz, dy/dz of the chief ray, per
+    particle) the window follows the slanted chief line slab by slab —
+    needed for tilted cameras or wide fields of view; without them the
+    tube is a vertical column at (particle_x, particle_y), which must
+    then be the chief's entry point at the volume top.
+
+    Interpolation uses the same clamped-texture convention as the
+    reference path (``lookup = 1 + frac (N-2)``, ops.interp).
     """
     w, h, d = vol.sizes
     tw = tube_width
     field = vol.field                      # (D, H, W, 4)
-
-    # voxel-space coordinate of the particle (u = lookup - 0.5)
-    fx = (particle_x - vol.min_bound[0]) / (vol.max_bound[0] - vol.min_bound[0])
-    fy = (particle_y - vol.min_bound[1]) / (vol.max_bound[1] - vol.min_bound[1])
-    ux = 0.5 + fx * (w - 2.0)
-    uy = 0.5 + fy * (h - 2.0)
-    ix0 = jnp.clip(jnp.floor(ux).astype(jnp.int32) - (tw // 2 - 1), 0, w - tw)
-    iy0 = jnp.clip(jnp.floor(uy).astype(jnp.int32) - (tw // 2 - 1), 0, h - tw)
-
-    def cut(ix, iy):
-        return jax.lax.dynamic_slice(field, (0, iy, ix, 0),
-                                     (d, tw, tw, 4))     # (D, TW, TW, 4)
-
-    tubes = jax.vmap(cut)(ix0, iy0)                      # (P, D, TW, TW, 4)
-    slabs = jnp.transpose(tubes, (1, 4, 2, 3, 0))        # (D, 4, TW, TW, P)
-
-    # world coordinates of tube column (0, 0): invert the lookup map
-    # u = 0.5 + frac (N-2)  =>  world = min + (u - 0.5) (max-min)/(N-2)
     sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
     sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
-    x0 = vol.min_bound[0] + (ix0.astype(jnp.float32) - 0.5) * sx
+
+    def window_indices(px, py):
+        ux = 0.5 + (px - vol.min_bound[0]) / sx
+        uy = 0.5 + (py - vol.min_bound[1]) / sy
+        ix = jnp.clip(jnp.floor(ux).astype(jnp.int32) - (tw // 2 - 1),
+                      0, w - tw)
+        iy = jnp.clip(jnp.floor(uy).astype(jnp.int32) - (tw // 2 - 1),
+                      0, h - tw)
+        return ix, iy
+
+    if slope_x is None:
+        ix0, iy0 = window_indices(particle_x, particle_y)
+
+        def cut(ix, iy):
+            return jax.lax.dynamic_slice(field, (0, iy, ix, 0),
+                                         (d, tw, tw, 4))  # (D, TW, TW, 4)
+
+        tubes = jax.vmap(cut)(ix0, iy0)                   # (P, D, TW, TW, 4)
+        slabs = jnp.transpose(tubes, (1, 4, 2, 3, 0))     # (D, 4, TW, TW, P)
+        x0 = vol.min_bound[0] + (ix0.astype(jnp.float32) - 0.5) * sx
+        y0 = vol.min_bound[1] + (iy0.astype(jnp.float32) - 0.5) * sy
+        return TubeBundle(slabs=slabs, x0=x0, y0=y0)
+
+    # slanted tubes: chief position at each voxel plane's world z
+    dz_slab = (vol.max_bound[2] - vol.min_bound[2]) / (d - 2.0)
+    z_planes = vol.min_bound[2] \
+        + (jnp.arange(d, dtype=jnp.float32) - 0.5) * dz_slab   # (D,)
+    z_top = vol.max_bound[2]
+    # particle_x/y are the chief entry coordinates at z_top
+    cx = particle_x[None, :] + slope_x[None, :] * (z_planes[:, None] - z_top)
+    cy = particle_y[None, :] + slope_y[None, :] * (z_planes[:, None] - z_top)
+    ix0, iy0 = window_indices(cx, cy)                     # (D, P)
+
+    def cut_slab(field_k, ix_k, iy_k):
+        def one(ix, iy):
+            return jax.lax.dynamic_slice(field_k, (iy, ix, 0),
+                                         (tw, tw, 4))     # (TW, TW, 4)
+        return jax.vmap(one)(ix_k, iy_k)                  # (P, TW, TW, 4)
+
+    per_slab = jax.vmap(cut_slab)(field, ix0, iy0)        # (D, P, TW, TW, 4)
+    slabs = jnp.transpose(per_slab, (0, 4, 2, 3, 1))      # (D, 4, TW, TW, P)
+    x0 = vol.min_bound[0] + (ix0.astype(jnp.float32) - 0.5) * sx   # (D, P)
     y0 = vol.min_bound[1] + (iy0.astype(jnp.float32) - 0.5) * sy
     return TubeBundle(slabs=slabs, x0=x0, y0=y0)
 
@@ -187,25 +216,36 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     Tz = n0 * dirz
 
     per_ray = x.ndim == 2
-    x0 = tubes.x0[:, None] if per_ray else tubes.x0
-    y0 = tubes.y0[:, None] if per_ray else tubes.y0
+    slanted = tubes.x0.ndim == 2
 
-    def sample(slab_lo, slab_hi, px, py, tz):
-        """Trilinear sample between two slabs at per-ray (px, py, tz)."""
-        ux = (px - x0) / sx
-        uy = (py - y0) / sy
-        wx = _hat_weights(ux, tw)
-        wy = _hat_weights(uy, tw)
-        lo = _cross_section(slab_lo, wx, wy)
-        hi = _cross_section(slab_hi, wx, wy)
+    def expand(origin):
+        return origin[:, None] if per_ray else origin
+
+    def sample(slab_lo, slab_hi, origins, px, py, tz):
+        """Trilinear sample between two slabs at per-ray (px, py, tz).
+
+        ``origins`` = (x0_lo, y0_lo, x0_hi, y0_hi): slanted tubes cut
+        each slab's window at a different place, so lo/hi weights use
+        their own window origins.
+        """
+        x0l, y0l, x0h, y0h = origins
+        wx_l = _hat_weights((px - x0l) / sx, tw)
+        wy_l = _hat_weights((py - y0l) / sy, tw)
+        lo = _cross_section(slab_lo, wx_l, wy_l)
+        if slanted:
+            wx_h = _hat_weights((px - x0h) / sx, tw)
+            wy_h = _hat_weights((py - y0h) / sy, tw)
+        else:
+            wx_h, wy_h = wx_l, wy_l
+        hi = _cross_section(slab_hi, wx_h, wy_h)
         tzc = jnp.clip(tz, 0.0, 1.0)
         return [l + tzc * (h_ - l) for l, h_ in zip(lo, hi)]
 
-    def deriv(slab_lo, slab_hi, state, z_plane, dz_off):
+    def deriv(slab_lo, slab_hi, origins, state, z_plane, dz_off):
         """ODE right-hand side at z = z_plane + dz_off."""
         px, py, Tx, Ty, Tz = state
         tz = dz_off / dz_slab
-        gx, gy, gz, nm1 = sample(slab_lo, slab_hi, px, py, tz)
+        gx, gy, gz, nm1 = sample(slab_lo, slab_hi, origins, px, py, tz)
         n = 1.0 + nm1
         inv_Tz = 1.0 / Tz
         g = n * inv_Tz                      # ds/dz (negative: T_z < 0)
@@ -214,7 +254,8 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
 
     def step(carry, slabs_pair):
         x, y, z, Tx, Ty, Tz, active = carry
-        slab_lo, slab_hi, z_plane = slabs_pair
+        slab_lo, slab_hi, z_plane, x0l, y0l, x0h, y0h = slabs_pair
+        origins = (expand(x0l), expand(y0l), expand(x0h), expand(y0h))
         # rays march -z, landing exactly on each voxel plane; a ray steps
         # whenever it is still above the current plane (float32-safe: the
         # step length comes from the actual z, so accumulated rounding is
@@ -224,7 +265,7 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
         hstep = -(z - z_plane)              # negative z displacement
 
         def rhs(px, py, tx, ty, tzc, z_at):
-            return deriv(slab_lo, slab_hi, (px, py, tx, ty, tzc),
+            return deriv(slab_lo, slab_hi, origins, (px, py, tx, ty, tzc),
                          z_plane, z_at - z_plane)
 
         if algorithm == 1:
@@ -273,10 +314,22 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     # reverse-ordered slab pairs as scanned inputs (flip, not gather)
     slab_lo = jnp.flip(tubes.slabs[:-1], axis=0)   # (S, 4, TW, TW, P)
     slab_hi = jnp.flip(tubes.slabs[1:], axis=0)
+    if slanted:
+        x0_lo = jnp.flip(tubes.x0[:-1], axis=0)
+        y0_lo = jnp.flip(tubes.y0[:-1], axis=0)
+        x0_hi = jnp.flip(tubes.x0[1:], axis=0)
+        y0_hi = jnp.flip(tubes.y0[1:], axis=0)
+    else:
+        s_count = d - 1
+        x0_lo = x0_hi = jnp.broadcast_to(tubes.x0[None],
+                                         (s_count,) + tubes.x0.shape)
+        y0_lo = y0_hi = jnp.broadcast_to(tubes.y0[None],
+                                         (s_count,) + tubes.y0.shape)
 
     carry = (x, y, z, Tx, Ty, Tz, inside)
     (x, y, z, Tx, Ty, Tz, _), _ = jax.lax.scan(
-        step, carry, (slab_lo, slab_hi, z_planes))
+        step, carry, (slab_lo, slab_hi, z_planes, x0_lo, y0_lo,
+                      x0_hi, y0_hi))
 
     # back to unit directions
     Tn = jnp.sqrt(Tx * Tx + Ty * Ty + Tz * Tz)

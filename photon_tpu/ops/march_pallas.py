@@ -201,7 +201,10 @@ def march_chief_pallas(vol: DensityVolume, tubes: TubeBundle,
                        xs, ys, zs, dcx, dcy, dcz,
                        algorithm: int = 2, interpret: bool = False):
     """Pallas-fused chief-ray march; same contract as
-    march_fast.march_tubes with (P,) states."""
+    march_fast.march_tubes with (P,) states (vertical tubes only)."""
+    if tubes.x0.ndim != 1:
+        raise NotImplementedError("pallas march supports vertical tubes; "
+                                  "use march_tubes for slanted tubes")
     w, h, d = vol.sizes
     tw = tubes.slabs.shape[2]
     sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)

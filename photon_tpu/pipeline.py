@@ -56,16 +56,14 @@ def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
                           scattering=None) -> bool:
     """Whether the speed-of-light (P, R) pipeline covers this config.
 
-    Requirements: axis-aligned single-lens train, zero camera angles,
-    diffuse scattering, trilinear volume interpolation with the Euler/RK4
-    integrators, and no per-ray noise options.
+    Requirements: the axis-aligned single-lens train, trilinear volume
+    interpolation with the Euler/RK4 integrators, and no per-ray noise
+    options (camera rotation and Mie scattering are supported).
     """
     from photon_tpu.models.render_fast import _axis_aligned
 
     dg = cfg.density_gradients
-    return (cfg.camera_design.x_camera_angle == 0.0
-            and cfg.camera_design.y_camera_angle == 0.0
-            and _axis_aligned(setup)
+    return (_axis_aligned(setup)
             and not dg.add_pos_noise and not dg.add_ngrad_noise
             and int(dg.interpolation_scheme) == 1
             and int(dg.ray_tracing_algorithm) in (1, 2))
