@@ -106,24 +106,30 @@ def _march_fn_for(cfg: SimulationConfig, enable: bool):
 
 def run_bos(cfg: SimulationConfig,
             rng: Optional[np.random.Generator] = None,
-            rays_per_chunk: int = 2_000_000) -> SimulationResult:
+            rays_per_chunk: int = 2_000_000,
+            verbose: bool = False) -> SimulationResult:
     """Render the BOS image pair: im1 (no gradients) + im2 (with gradients).
 
     (ref: run_simulation_02.py:1976-2106)
     """
+    from photon_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     if rng is None:
         rng = np.random.default_rng(cfg.seed)
-    setup = camera_setup(cfg)
-    source, dot_x, dot_y = bos_source(cfg, setup, rng)
-    r1, r2 = _lens_sample_pair(cfg, source.lightray_number_per_particle)
+    with timer.phase("scene"):
+        setup = camera_setup(cfg)
+        source, dot_x, dot_y = bos_source(cfg, setup, rng)
+        r1, r2 = _lens_sample_pair(cfg, source.lightray_number_per_particle)
 
     fast_ok = can_use_fast_renderer(cfg, setup)
     vol = None
     if bool(cfg.density_gradients.density_gradient_filename):
         from photon_tpu.volume import load_density_volume
-        vol = load_density_volume(
-            cfg.density_gradients.density_gradient_filename,
-            gladstone_dale=cfg.density_gradients.gladstone_dale)
+        with timer.phase("volume"):
+            vol = load_density_volume(
+                cfg.density_gradients.density_gradient_filename,
+                gladstone_dale=cfg.density_gradients.gladstone_dale)
 
     images, raws = {}, {}
     key = jax.random.key(cfg.seed + 7)
@@ -132,22 +138,28 @@ def run_bos(cfg: SimulationConfig,
         # im1 always renders without gradients, im2 with them — regardless
         # of the config flag (ref: run_simulation_02.py:2034, 2064)
         use_vol = vol if gradients else None
-        if fast_ok:
-            raw = _render(cfg, setup, source, r1, r2, vol=use_vol)
-        else:
-            march_fn = _march_fn_for(cfg, gradients and vol is not None)
-            raw = render_image(cfg, setup, source, r1, r2,
-                               march_fn=march_fn,
-                               rays_per_chunk=rays_per_chunk)
+        with timer.phase(f"render:{name}", num_rays=source.num_rays):
+            if fast_ok:
+                raw = _render(cfg, setup, source, r1, r2, vol=use_vol)
+            else:
+                march_fn = _march_fn_for(cfg, gradients and vol is not None)
+                raw = render_image(cfg, setup, source, r1, r2,
+                                   march_fn=march_fn,
+                                   rays_per_chunk=rays_per_chunk)
+            raw.block_until_ready()
         key, sub = jax.random.split(key)
-        I, I_raw = postprocess(cfg, raw, key=sub)
+        with timer.phase("postprocess"):
+            I, I_raw = postprocess(cfg, raw, key=sub)
         images[name], raws[name] = I, I_raw
 
         if cfg.output_data.save_lightrays:
-            _save_lightrays(cfg, setup, source, r1, r2,
-                            vol if gradients else None,
-                            "im2" if gradients else "im1")
+            with timer.phase("save_lightrays"):
+                _save_lightrays(cfg, setup, source, r1, r2,
+                                vol if gradients else None,
+                                "im2" if gradients else "im1")
 
+    if verbose:
+        print(timer.report())
     return SimulationResult(images=images, raw_images=raws, setup=setup,
                             sources={"bos": source},
                             dot_positions={"x": dot_x, "y": dot_y})
