@@ -52,3 +52,13 @@ def test_load_reference_mat():
     assert cfg.bos_pattern.lightray_number_per_particle == 500
     assert cfg.density_gradients.ray_tracing_algorithm == 2
     assert cfg.camera_design.implement_diffraction is True
+
+
+def test_postprocess_crop():
+    from photon_tpu.postprocess import crop
+    img = np.arange(100).reshape(10, 10)
+    out = crop(img, 6, 6)
+    # reference crop semantics: center block minus one row/col
+    # (ref: perform_ray_tracing_03.py:2258)
+    assert out.shape == (5, 5)
+    assert out[0, 0] == img[2, 2]

@@ -103,3 +103,24 @@ def test_flatten_assembly_multi_element():
     np.testing.assert_allclose(st.center[:, 2], [0.0, 7e3, 11e3])
     np.testing.assert_array_equal(st.system_index, [1, 2, 3])
     np.testing.assert_array_equal(st.element_type, [0, 1, 0])
+
+
+def test_aperture_element_culls_rays():
+    """An aperture stop narrower than the beam cuts the outer rays
+    (ref: parallel_ray_tracing.cu aperture branch :868-992)."""
+    import jax.numpy as jnp
+    from photon_tpu.ops.lens import RayBundle, propagate_aperture
+
+    n = 11
+    xs = np.linspace(-100.0, 100.0, n).astype(np.float32)
+    pos = jnp.asarray(np.stack([xs, np.zeros(n), np.full(n, 50.0)], -1))
+    direction = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (n, 1)),
+                            jnp.float32)
+    rays = RayBundle(pos, direction, jnp.zeros(n), jnp.ones(n))
+    center = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    plane = jnp.asarray([0.0, 0.0, 1.0, 0.0], jnp.float32)
+    out = propagate_aperture(rays, center, plane, pitch=100.0,
+                             vertex_distance=2.0)
+    valid = np.asarray(out.valid)
+    # rays within |x| <= 50 survive, others are NaN-poisoned
+    np.testing.assert_array_equal(valid, np.abs(xs) <= 50.0)
