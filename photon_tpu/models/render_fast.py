@@ -34,8 +34,9 @@ from photon_tpu.config import SimulationConfig
 from photon_tpu.models.optics import CameraSetup
 from photon_tpu.models.render import RenderParams
 from photon_tpu.models.scenes import LightfieldSource
-from photon_tpu.ops.march_fast import (apply_chief_deltas, extract_tubes,
-                                       march_chief_deltas, march_tubes)
+from photon_tpu.ops.march_fast import (apply_chief_deltas,
+                                       chief_deltas_chunked_jit,
+                                       extract_tubes, march_tubes)
 from photon_tpu.ops.sensor_fast import particle_splat, patch_splat
 from photon_tpu.volume import DensityVolume
 
@@ -146,6 +147,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       algorithm: int = 2,
                       patch: int = 12,
                       particles_per_chunk: Optional[int] = None,
+                      march_particles_per_chunk: Optional[int] = 16384,
                       chief_march: bool = True,
                       per_ray_splat: bool = False,
                       scattering=None,
@@ -222,6 +224,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
 
     tubes = None
     chief = None
+    entry = None
     if vol is not None:
         # chief ray per particle (toward the lens center), world frame:
         # its straight-line track through the volume places each slab's
@@ -245,28 +248,23 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         slope_y = cdir_w[1] / cdir_w[2]
         chief = (cpos_w[0], cpos_w[1], cpos_w[2],
                  cdir_w[0], cdir_w[1], cdir_w[2])
-        tubes = extract_tubes(vol, entry_x, entry_y,
-                              slope_x=slope_x, slope_y=slope_y)
+        entry = (entry_x, entry_y, slope_x, slope_y)
 
     # ---- density march: per-particle chief deltas, computed once ------
     # (marching P chief rays instead of P*R fan rays is exact to the
     # ~1 um lens-cone width; the deltas then chunk/shard like any other
-    # per-particle array)
+    # per-particle array.  Extraction + march run in bounded particle
+    # chunks so the transient tube arrays never crowd HBM.)
     deltas6 = None
     if vol is not None and chief_march:
-        cx_, cy_, cz_, cdx_, cdy_, cdz_ = chief
-        if use_pallas and tubes.x0.ndim == 1:
-            from photon_tpu.ops.march_pallas import march_chief_pallas
-            x1, y1, z1, dx1, dy1, dz1 = march_chief_pallas(
-                vol, tubes, cx_, cy_, cz_, cdx_, cdy_, cdz_,
-                algorithm=algorithm)
-            t_c = (z1 - cz_) / cdz_
-            deltas6 = (z1, x1 - (cx_ + cdx_ * t_c), y1 - (cy_ + cdy_ * t_c),
-                       dx1 - cdx_, dy1 - cdy_, dz1 - cdz_)
-        else:
-            deltas6 = march_chief_deltas(
-                vol, tubes, cx_, cy_, cz_, cdx_, cdy_, cdz_,
-                algorithm=algorithm)
+        deltas6 = chief_deltas_chunked_jit(
+            vol, *entry, *chief, algorithm=algorithm,
+            particles_per_chunk=march_particles_per_chunk,
+            use_pallas=use_pallas)
+    elif vol is not None:
+        # validation path (march every fan ray): needs the full tubes
+        tubes = extract_tubes(vol, entry[0], entry[1],
+                              slope_x=entry[2], slope_y=entry[3])
     has_march = deltas6 is not None
     per_ray_march = vol is not None and not chief_march
     shift_f = jnp.float32(params.z_offset + 750e3)

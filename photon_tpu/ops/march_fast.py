@@ -35,6 +35,7 @@ paraxial BOS oracle and against the exact-replica marcher.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -50,16 +51,24 @@ TUBE_WIDTH = 4  # voxel columns per side of a particle's tube
 class TubeBundle(NamedTuple):
     """Per-particle voxel tubes, laid out for slab streaming.
 
-    ``slabs`` has shape (D, C=4, TW, TW, P): scan axis leading, channels
-    (dn/dx, dn/dy, dn/dz, n-1), tube cross-section, particles minor.
-    ``x0``/``y0`` are the world coordinates of tube column (0, 0) —
-    either (P,) for vertical tubes or (D, P) for slanted tubes whose
-    windows follow the chief-ray line through each slab.
+    ``slabs`` has shape (D, C=4, TW*TW, P): scan axis leading, channels
+    (dn/dx, dn/dy, dn/dz, n-1), flattened tube cross-section (row-major,
+    q = j * TW + i), particles minor.  The big P axis sits in the TPU
+    lane dimension, so the array tiles cleanly — a (.., TW, TW) trailing
+    layout would pad each 4-wide minor dim to 128 lanes (32x blowup,
+    measured as a 62 GB allocation for the 1024^2 BOS bench scene).
+    ``x0``/``y0`` are (D, P): the world coordinates of tube column
+    (j=0, i=0) at each slab — per-slab because slanted tubes re-center
+    their window on the chief line slab by slab.
     """
 
-    slabs: jnp.ndarray      # (D, 4, TW, TW, P)
-    x0: jnp.ndarray         # (P,) or (D, P)
-    y0: jnp.ndarray         # (P,) or (D, P)
+    slabs: jnp.ndarray      # (D, 4, TW*TW, P)
+    x0: jnp.ndarray         # (D, P)
+    y0: jnp.ndarray         # (D, P)
+
+
+def _tube_width(tubes: TubeBundle) -> int:
+    return int(round(math.isqrt(int(tubes.slabs.shape[2]))))
 
 
 def extract_tubes(vol: DensityVolume, particle_x, particle_y,
@@ -73,55 +82,52 @@ def extract_tubes(vol: DensityVolume, particle_x, particle_y,
     tube is a vertical column at (particle_x, particle_y), which must
     then be the chief's entry point at the volume top.
 
+    The cut is one flat gather per channel with the particle axis minor
+    (see TubeBundle): TPUs have no texture units, so this single
+    O(D * TW^2 * P) gather — amortized over all R rays and RK4 stages —
+    replaces the reference's per-step tex3D fetches
+    (trace_rays_through_density_gradients.h:830,912).
+
     Interpolation uses the same clamped-texture convention as the
     reference path (``lookup = 1 + frac (N-2)``, ops.interp).
     """
     w, h, d = vol.sizes
     tw = tube_width
+    p = particle_x.shape[0]
     field = vol.field                      # (D, H, W, 4)
     sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
     sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
 
-    def window_indices(px, py):
-        ux = 0.5 + (px - vol.min_bound[0]) / sx
-        uy = 0.5 + (py - vol.min_bound[1]) / sy
-        ix = jnp.clip(jnp.floor(ux).astype(jnp.int32) - (tw // 2 - 1),
-                      0, w - tw)
-        iy = jnp.clip(jnp.floor(uy).astype(jnp.int32) - (tw // 2 - 1),
-                      0, h - tw)
-        return ix, iy
-
     if slope_x is None:
-        ix0, iy0 = window_indices(particle_x, particle_y)
+        cx = jnp.broadcast_to(jnp.asarray(particle_x)[None, :], (d, p))
+        cy = jnp.broadcast_to(jnp.asarray(particle_y)[None, :], (d, p))
+    else:
+        # slanted tubes: chief position at each voxel plane's world z
+        dz_slab = (vol.max_bound[2] - vol.min_bound[2]) / (d - 2.0)
+        z_planes = vol.min_bound[2] \
+            + (jnp.arange(d, dtype=jnp.float32) - 0.5) * dz_slab   # (D,)
+        z_top = vol.max_bound[2]
+        # particle_x/y are the chief entry coordinates at z_top
+        cx = particle_x[None, :] \
+            + slope_x[None, :] * (z_planes[:, None] - z_top)
+        cy = particle_y[None, :] \
+            + slope_y[None, :] * (z_planes[:, None] - z_top)
 
-        def cut(ix, iy):
-            return jax.lax.dynamic_slice(field, (0, iy, ix, 0),
-                                         (d, tw, tw, 4))  # (D, TW, TW, 4)
+    ux = 0.5 + (cx - vol.min_bound[0]) / sx
+    uy = 0.5 + (cy - vol.min_bound[1]) / sy
+    ix0 = jnp.clip(jnp.floor(ux).astype(jnp.int32) - (tw // 2 - 1),
+                   0, w - tw)                             # (D, P)
+    iy0 = jnp.clip(jnp.floor(uy).astype(jnp.int32) - (tw // 2 - 1),
+                   0, h - tw)
 
-        tubes = jax.vmap(cut)(ix0, iy0)                   # (P, D, TW, TW, 4)
-        slabs = jnp.transpose(tubes, (1, 4, 2, 3, 0))     # (D, 4, TW, TW, P)
-        x0 = vol.min_bound[0] + (ix0.astype(jnp.float32) - 0.5) * sx
-        y0 = vol.min_bound[1] + (iy0.astype(jnp.float32) - 0.5) * sy
-        return TubeBundle(slabs=slabs, x0=x0, y0=y0)
-
-    # slanted tubes: chief position at each voxel plane's world z
-    dz_slab = (vol.max_bound[2] - vol.min_bound[2]) / (d - 2.0)
-    z_planes = vol.min_bound[2] \
-        + (jnp.arange(d, dtype=jnp.float32) - 0.5) * dz_slab   # (D,)
-    z_top = vol.max_bound[2]
-    # particle_x/y are the chief entry coordinates at z_top
-    cx = particle_x[None, :] + slope_x[None, :] * (z_planes[:, None] - z_top)
-    cy = particle_y[None, :] + slope_y[None, :] * (z_planes[:, None] - z_top)
-    ix0, iy0 = window_indices(cx, cy)                     # (D, P)
-
-    def cut_slab(field_k, ix_k, iy_k):
-        def one(ix, iy):
-            return jax.lax.dynamic_slice(field_k, (iy, ix, 0),
-                                         (tw, tw, 4))     # (TW, TW, 4)
-        return jax.vmap(one)(ix_k, iy_k)                  # (P, TW, TW, 4)
-
-    per_slab = jax.vmap(cut_slab)(field, ix0, iy0)        # (D, P, TW, TW, 4)
-    slabs = jnp.transpose(per_slab, (0, 4, 2, 3, 1))      # (D, 4, TW, TW, P)
+    # flat window indices (D, TW, TW, P): (iy0 + j) * W + ix0 + i
+    off = jnp.arange(tw, dtype=jnp.int32)
+    idx = ((iy0[:, None, None, :] + off[:, None, None]) * w
+           + (ix0[:, None, None, :] + off[None, :, None]))
+    idx = idx.reshape(d, tw * tw * p)
+    field_t = jnp.transpose(field, (3, 0, 1, 2)).reshape(4, d, h * w)
+    chans = [jnp.take_along_axis(field_t[c], idx, axis=1) for c in range(4)]
+    slabs = jnp.stack(chans, axis=1).reshape(d, 4, tw * tw, p)
     x0 = vol.min_bound[0] + (ix0.astype(jnp.float32) - 0.5) * sx   # (D, P)
     y0 = vol.min_bound[1] + (iy0.astype(jnp.float32) - 0.5) * sy
     return TubeBundle(slabs=slabs, x0=x0, y0=y0)
@@ -137,7 +143,7 @@ def _tube_scales(vol: DensityVolume):
 def _cross_section(slab, wx, wy):
     """Weighted (TW x TW) reduction of one slab for all rays.
 
-    slab: (4, TW, TW, P); wx/wy: lists of TW weight arrays, either
+    slab: (4, TW*TW, P); wx/wy: lists of TW weight arrays, either
     (P, R) (per-ray march) or (P,) (chief-ray march).  Returns 4 channel
     arrays shaped like the weights: (gx, gy, gz, n-1).  All operations
     are elementwise with the large axis minor — no gathers.
@@ -150,7 +156,7 @@ def _cross_section(slab, wx, wy):
         for j in range(tw):
             inner = None
             for i in range(tw):
-                col = slab[c, j, i]                # (P,)
+                col = slab[c, j * tw + i]          # (P,)
                 if per_ray:
                     col = col[:, None]             # (P, 1) -> bcast (P, R)
                 term = wx[i] * col
@@ -190,7 +196,7 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
       clamped texture addressing.
     """
     w, h, d = vol.sizes
-    tw = tubes.slabs.shape[2]
+    tw = _tube_width(tubes)
     sx, sy = _tube_scales(vol)
     z_max = vol.max_bound[2]
     z_min = vol.min_bound[2]
@@ -205,7 +211,11 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     adv = jnp.where(above, jnp.maximum(t_entry, 0.0), 0.0)
     x = x + dirx * adv
     y = y + diry * adv
-    z = z + dirz * adv
+    # snap advanced rays exactly onto the entry plane: computing
+    # z + dirz * t_entry can round an ulp past z_max under fused
+    # compilation, which would flip the inside test for every ray that
+    # starts above the volume
+    z = jnp.where(above, jnp.full_like(z, 1.0) * z_max, z + dirz * adv)
     inside = (z <= z_max) & (z >= z_min) & (dirz < 0)
 
     # Sharma variables: T = n * dir; n at entry ~ interpolated later, use
@@ -216,7 +226,6 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     Tz = n0 * dirz
 
     per_ray = x.ndim == 2
-    slanted = tubes.x0.ndim == 2
 
     def expand(origin):
         return origin[:, None] if per_ray else origin
@@ -232,11 +241,8 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
         wx_l = _hat_weights((px - x0l) / sx, tw)
         wy_l = _hat_weights((py - y0l) / sy, tw)
         lo = _cross_section(slab_lo, wx_l, wy_l)
-        if slanted:
-            wx_h = _hat_weights((px - x0h) / sx, tw)
-            wy_h = _hat_weights((py - y0h) / sy, tw)
-        else:
-            wx_h, wy_h = wx_l, wy_l
+        wx_h = _hat_weights((px - x0h) / sx, tw)
+        wy_h = _hat_weights((py - y0h) / sy, tw)
         hi = _cross_section(slab_hi, wx_h, wy_h)
         tzc = jnp.clip(tz, 0.0, 1.0)
         return [l + tzc * (h_ - l) for l, h_ in zip(lo, hi)]
@@ -312,19 +318,12 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     ks = jnp.arange(d - 2, -1, -1, dtype=jnp.int32)
     z_planes = z_min + (ks.astype(jnp.float32) - 0.5) * dz_slab
     # reverse-ordered slab pairs as scanned inputs (flip, not gather)
-    slab_lo = jnp.flip(tubes.slabs[:-1], axis=0)   # (S, 4, TW, TW, P)
+    slab_lo = jnp.flip(tubes.slabs[:-1], axis=0)   # (S, 4, TW*TW, P)
     slab_hi = jnp.flip(tubes.slabs[1:], axis=0)
-    if slanted:
-        x0_lo = jnp.flip(tubes.x0[:-1], axis=0)
-        y0_lo = jnp.flip(tubes.y0[:-1], axis=0)
-        x0_hi = jnp.flip(tubes.x0[1:], axis=0)
-        y0_hi = jnp.flip(tubes.y0[1:], axis=0)
-    else:
-        s_count = d - 1
-        x0_lo = x0_hi = jnp.broadcast_to(tubes.x0[None],
-                                         (s_count,) + tubes.x0.shape)
-        y0_lo = y0_hi = jnp.broadcast_to(tubes.y0[None],
-                                         (s_count,) + tubes.y0.shape)
+    x0_lo = jnp.flip(tubes.x0[:-1], axis=0)
+    y0_lo = jnp.flip(tubes.y0[:-1], axis=0)
+    x0_hi = jnp.flip(tubes.x0[1:], axis=0)
+    y0_hi = jnp.flip(tubes.y0[1:], axis=0)
 
     carry = (x, y, z, Tx, Ty, Tz, inside)
     (x, y, z, Tx, Ty, Tz, _), _ = jax.lax.scan(
@@ -363,6 +362,73 @@ def march_chief_deltas(vol: DensityVolume, tubes: TubeBundle,
     dpos_x = x1 - (xs + dcx * t)
     dpos_y = y1 - (ys + dcy * t)
     return z1, dpos_x, dpos_y, dx1 - dcx, dy1 - dcy, dz1 - dcz
+
+
+def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
+                         slope_x, slope_y, xs, ys, zs, dcx, dcy, dcz,
+                         algorithm: int = 2,
+                         tube_width: int = TUBE_WIDTH,
+                         particles_per_chunk: Optional[int] = 16384,
+                         use_pallas: bool = False):
+    """Tube extraction + chief march over bounded particle chunks.
+
+    The tubes for P particles occupy D * 4 * TW^2 * P floats (1.6 GB for
+    the 1024^2 BOS bench scene at P=1e5) — transient, but large enough
+    to crowd HBM next to the (P, R) ray fan.  ``lax.map`` over chunks of
+    ``particles_per_chunk`` keeps the live tube footprint to one chunk
+    (the TPU-native analogue of the reference's KMAX particle batching,
+    parallel_ray_tracing.cu:3506-3515).  Returns the same
+    ``(z_exit, dpos_x, dpos_y, ddir_x, ddir_y, ddir_z)`` as
+    :func:`march_chief_deltas`, each (P,).
+    """
+    p = xs.shape[0]
+
+    def one(args):
+        ex, ey, sx_, sy_, cx_, cy_, cz_, dx_, dy_, dz_ = args
+        tubes = extract_tubes(vol, ex, ey, tube_width=tube_width,
+                              slope_x=sx_, slope_y=sy_)
+        if use_pallas:
+            from photon_tpu.ops.march_pallas import march_chief_pallas
+            x1, y1, z1, dx1, dy1, dz1 = march_chief_pallas(
+                vol, tubes, cx_, cy_, cz_, dx_, dy_, dz_,
+                algorithm=algorithm)
+            t = (z1 - cz_) / dz_
+            return (z1, x1 - (cx_ + dx_ * t), y1 - (cy_ + dy_ * t),
+                    dx1 - dx_, dy1 - dy_, dz1 - dz_)
+        return march_chief_deltas(vol, tubes, cx_, cy_, cz_, dx_, dy_, dz_,
+                                  algorithm=algorithm)
+
+    args = tuple(jnp.asarray(a) for a in
+                 (entry_x, entry_y, slope_x, slope_y,
+                  xs, ys, zs, dcx, dcy, dcz))
+    if particles_per_chunk is None or p <= particles_per_chunk:
+        return one(args)
+    pc = particles_per_chunk
+    n_chunks = -(-p // pc)
+    pad = n_chunks * pc - p
+
+    def prep(a):
+        if pad:
+            # fill 1.0: keeps every divisor nonzero; dcz > 0 marks the
+            # pad rays as outside the volume, so they pass through
+            a = jnp.concatenate([a, jnp.full((pad,), 1.0, a.dtype)])
+        return a.reshape(n_chunks, pc)
+
+    # remat: without it, reverse-mode through lax.map stores every
+    # chunk's tube gather + march residuals at once (OOMs the fwd+bwd
+    # bench at 18 GB); recomputing a chunk in backward costs one extra
+    # extraction+march but caps live residuals at a single chunk
+    outs = jax.lax.map(jax.checkpoint(one), tuple(prep(a) for a in args))
+    return tuple(o.reshape(n_chunks * pc)[:p] for o in outs)
+
+
+# persistent jitted entry point: config knobs static, so repeated renders
+# of the same scene shape hit the jit cache (a fresh jax.jit(partial(...))
+# per call would recompile the march every render)
+chief_deltas_chunked_jit = jax.jit(
+    chief_deltas_chunked,
+    static_argnames=("algorithm", "tube_width", "particles_per_chunk",
+                     "use_pallas"))
 
 
 def apply_chief_deltas(deltas, px, py, pz, dx, dy, dz):

@@ -5,13 +5,16 @@ The XLA version (ops.march_fast.march_tubes) expresses the z-slab scan as
 and intermediates in HBM every step.  This kernel fuses the entire march:
 ray state lives in VMEM for all steps, tube slabs stream from HBM with a
 double-buffered async DMA (one slab pair ahead), and each RK4 stage's
-4x4 cross-section reduction is unrolled VPU code on (8, 128) particle
-tiles.
+TW x TW cross-section reduction is unrolled VPU code on (8, 128)
+particle tiles.
 
 Layout: particles are padded to blocks of B = 8*128 = 1024 and reshaped
 (G, 8, 128); tube slabs arrive as (G, D, 4, TW*TW, 8, 128) float32 —
-(channel, flattened cross-section) per particle — built once per render
-by :func:`pack_tubes`.
+(channel, flattened cross-section) per particle — and window origins as
+(G, D, 2, 8, 128), both built once per render by :func:`pack_tubes`.
+Slanted tubes (windows re-centered on the chief line at every slab,
+march_fast.extract_tubes) are supported: each slab's origin pair is
+DMA'd alongside its voxel data.
 
 Same math as march_tubes' RK4/Euler z-parametrization (see
 ops.march_fast for the physics derivation and reference citations).
@@ -29,23 +32,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photon_tpu.ops.march_fast import TUBE_WIDTH, TubeBundle
+from photon_tpu.ops.march_fast import TUBE_WIDTH, TubeBundle, _tube_width
 from photon_tpu.volume import DensityVolume
 
 _BLK = (8, 128)
 _B = _BLK[0] * _BLK[1]
 
 
-def pack_tubes(tubes: TubeBundle) -> Tuple[jnp.ndarray, int, int]:
-    """(D, 4, TW, TW, P) -> (G, D, 4, TW*TW, 8, 128) padded blocks."""
-    d, c, tw, tw2, p = tubes.slabs.shape
+def pack_tubes(tubes: TubeBundle) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                           int, int]:
+    """(D, 4, TW*TW, P) -> (G, D, 4, TW*TW, 8, 128) padded blocks,
+    plus origins (D, P) x0/y0 -> (G, D, 2, 8, 128)."""
+    d, c, q, p = tubes.slabs.shape
     g = math.ceil(p / _B)
     pad = g * _B - p
-    slabs = tubes.slabs.reshape(d, c, tw * tw2, p)
+    slabs = tubes.slabs
+    origins = jnp.stack([tubes.x0, tubes.y0], axis=1)       # (D, 2, P)
     if pad:
         slabs = jnp.pad(slabs, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    slabs = slabs.reshape(d, c, tw * tw2, g, _BLK[0], _BLK[1])
-    return jnp.transpose(slabs, (3, 0, 1, 2, 4, 5)), g, pad
+        origins = jnp.pad(origins, ((0, 0), (0, 0), (0, pad)))
+    slabs = slabs.reshape(d, c, q, g, _BLK[0], _BLK[1])
+    origins = origins.reshape(d, 2, g, _BLK[0], _BLK[1])
+    return (jnp.transpose(slabs, (3, 0, 1, 2, 4, 5)),
+            jnp.transpose(origins, (2, 0, 1, 3, 4)), g, pad)
 
 
 def _pad_block(a, g, pad, fill=0.0):
@@ -56,17 +65,19 @@ def _pad_block(a, g, pad, fill=0.0):
 
 def _march_kernel(sx_ref, sy_ref, dz_ref, zp0_ref,
                   x_ref, y_ref, z_ref, tx_ref, ty_ref, tz_ref,
-                  act_ref, x0_ref, y0_ref, slabs_hbm,
+                  act_ref, slabs_hbm, orig_hbm,
                   ox_ref, oy_ref, oz_ref, otx_ref, oty_ref, otz_ref,
-                  slab_buf, sem, *, n_steps: int, tw: int, algorithm: int):
+                  slab_buf, orig_buf, sem, sem_o,
+                  *, n_steps: int, tw: int, algorithm: int):
     """One particle block: full march, slabs DMA'd slab-pair by pair.
 
     SMEM scalars: sx/sy (tube x/y scale), dz (slab z extent), zp0
     (world z of voxel plane 0).
     slabs_hbm: (G, D, 4, TW*TW, 8, 128) in ANY/HBM (whole array; this
     block selects its G row via program_id).
+    orig_hbm: (G, D, 2, 8, 128) per-slab window origins (x0, y0).
     slab_buf: VMEM scratch (2, 2, 4, TW*TW, 8, 128) — double buffer of
-    slab *pairs* (lo, hi).
+    slab *pairs* (lo, hi); orig_buf: (2, 2, 2, 8, 128) likewise.
     """
     gidx = pl.program_id(0)
     sx = sx_ref[0, 0]
@@ -81,23 +92,31 @@ def _march_kernel(sx_ref, sy_ref, dz_ref, zp0_ref,
     ty = ty_ref[0]
     tz = tz_ref[0]
     active = act_ref[0] > 0.5
-    x0 = x0_ref[0]
-    y0 = y0_ref[0]
 
     d = n_steps + 1   # number of slabs
 
     def start_dma(slot, k):
-        # copy slabs k (lo) and k+1 (hi) into the slot
+        # copy slabs k (lo) and k+1 (hi) + their window origins
         pltpu.make_async_copy(slabs_hbm.at[gidx, k], slab_buf.at[slot, 0],
                               sem.at[slot, 0]).start()
         pltpu.make_async_copy(slabs_hbm.at[gidx, k + 1],
                               slab_buf.at[slot, 1], sem.at[slot, 1]).start()
+        pltpu.make_async_copy(orig_hbm.at[gidx, k], orig_buf.at[slot, 0],
+                              sem_o.at[slot, 0]).start()
+        pltpu.make_async_copy(orig_hbm.at[gidx, k + 1],
+                              orig_buf.at[slot, 1],
+                              sem_o.at[slot, 1]).start()
 
     def wait_dma(slot, k):
         pltpu.make_async_copy(slabs_hbm.at[gidx, k], slab_buf.at[slot, 0],
                               sem.at[slot, 0]).wait()
         pltpu.make_async_copy(slabs_hbm.at[gidx, k + 1],
                               slab_buf.at[slot, 1], sem.at[slot, 1]).wait()
+        pltpu.make_async_copy(orig_hbm.at[gidx, k], orig_buf.at[slot, 0],
+                              sem_o.at[slot, 0]).wait()
+        pltpu.make_async_copy(orig_hbm.at[gidx, k + 1],
+                              orig_buf.at[slot, 1],
+                              sem_o.at[slot, 1]).wait()
 
     # warm up: top slab pair (k = d-2)
     start_dma(0, d - 2)
@@ -138,11 +157,16 @@ def _march_kernel(sx_ref, sy_ref, dz_ref, zp0_ref,
         in_band = active & (z > z_plane)
         hstep = -(z - z_plane)
 
+        x0_lo = orig_buf[slot, 0, 0]
+        y0_lo = orig_buf[slot, 0, 1]
+        x0_hi = orig_buf[slot, 1, 0]
+        y0_hi = orig_buf[slot, 1, 1]
+
         def rhs(px, py, ptx, pty, ptz, z_at):
-            wx = hat((px - x0) / sx)
-            wy = hat((py - y0) / sy)
-            lo = cross_section(slot, 0, wx, wy)
-            hi = cross_section(slot, 1, wx, wy)
+            lo = cross_section(slot, 0, hat((px - x0_lo) / sx),
+                               hat((py - y0_lo) / sy))
+            hi = cross_section(slot, 1, hat((px - x0_hi) / sx),
+                               hat((py - y0_hi) / sy))
             tzf = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
             gx = lo[0] + tzf * (hi[0] - lo[0])
             gy = lo[1] + tzf * (hi[1] - lo[1])
@@ -201,12 +225,10 @@ def march_chief_pallas(vol: DensityVolume, tubes: TubeBundle,
                        xs, ys, zs, dcx, dcy, dcz,
                        algorithm: int = 2, interpret: bool = False):
     """Pallas-fused chief-ray march; same contract as
-    march_fast.march_tubes with (P,) states (vertical tubes only)."""
-    if tubes.x0.ndim != 1:
-        raise NotImplementedError("pallas march supports vertical tubes; "
-                                  "use march_tubes for slanted tubes")
+    march_fast.march_tubes with (P,) states (vertical or slanted
+    tubes)."""
     w, h, d = vol.sizes
-    tw = tubes.slabs.shape[2]
+    tw = _tube_width(tubes)
     sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
     sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
     z_max = vol.max_bound[2]
@@ -226,12 +248,11 @@ def march_chief_pallas(vol: DensityVolume, tubes: TubeBundle,
     ty = n0 * dcy
     tz = n0 * dcz
 
-    slabs_blk, g, pad = pack_tubes(tubes)
+    slabs_blk, orig_blk, g, pad = pack_tubes(tubes)
     p = xs.shape[0]
 
     blocks = [_pad_block(a, g, pad) for a in
-              (x, y, z, tx, ty, tz, inside.astype(jnp.float32),
-               tubes.x0, tubes.y0)]
+              (x, y, z, tx, ty, tz, inside.astype(jnp.float32))]
 
     n_steps = d - 1
     kern = functools.partial(_march_kernel, n_steps=n_steps, tw=tw,
@@ -252,16 +273,18 @@ def march_chief_pallas(vol: DensityVolume, tubes: TubeBundle,
     outs = pl.pallas_call(
         kern,
         grid=(g,),
-        in_specs=[smem_spec] * 4 + [blk_spec] * 9
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[smem_spec] * 4 + [blk_spec] * 7
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[blk_spec] * 6,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((2, 2, 4, tw * tw) + _BLK, jnp.float32),
+            pltpu.VMEM((2, 2, 2) + _BLK, jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(*scalars, *blocks, slabs_blk)
+    )(*scalars, *blocks, slabs_blk, orig_blk)
 
     def unblock(a):
         return a.reshape(g * _B)[:p]
