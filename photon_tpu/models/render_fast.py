@@ -22,7 +22,6 @@ semantics oracle; tests drive both and compare images.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -35,7 +34,7 @@ from photon_tpu.models.optics import CameraSetup
 from photon_tpu.models.render import RenderParams
 from photon_tpu.models.scenes import LightfieldSource
 from photon_tpu.ops.march_fast import (apply_chief_deltas,
-                                       chief_deltas_chunked_jit,
+                                       chief_deltas_chunked,
                                        extract_tubes, march_tubes)
 from photon_tpu.ops.sensor_fast import particle_splat, patch_splat
 from photon_tpu.volume import DensityVolume
@@ -141,114 +140,53 @@ def _axis_aligned(setup: CameraSetup) -> bool:
             and np.allclose(st.center[0][:2], [0, 0]))
 
 
-def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
-                      source: LightfieldSource, r1, r2,
-                      vol: Optional[DensityVolume] = None,
-                      algorithm: int = 2,
-                      patch: int = 12,
-                      particles_per_chunk: Optional[int] = None,
-                      march_particles_per_chunk: Optional[int] = 16384,
-                      chief_march: bool = True,
-                      per_ray_splat: bool = False,
-                      scattering=None,
-                      mesh=None,
-                      use_pallas: bool = False,
-                      ) -> jnp.ndarray:
-    """Render the raw image with the (P, R) SoA pipeline.
 
-    Supports the axis-aligned single-lens train with 'apparent',
-    'thin-lens' or 'general' lens models, camera rotation, diffuse or
-    Mie scattering; other configurations fall back to
-    photon_tpu.models.render.render_image.
+# ---------------------------------------------------------------------------
+# Device-side render body (traced once per scene shape; see the jitted
+# wrappers at the bottom — the whole array->image path compiles to ONE
+# XLA program, so a render costs one dispatch instead of hundreds of
+# eager ops, which matters hugely when the accelerator sits behind an
+# RPC tunnel)
+# ---------------------------------------------------------------------------
 
-    ``chief_march``: march one chief ray per particle and broadcast its
-    deflection to the fan (exact to the ~1 um lens-cone width; set False
-    to march every ray through its tube).  ``per_ray_splat``: deposit
-    every ray's own erf spot instead of one spot per particle at the
-    amplitude-weighted centroid (needed with per-ray position noise).
+
+def _chief_geometry(vol, xs, ys, zs, inv_rot, z_offset, image_distance):
+    """Per-particle chief ray (toward the lens center), world frame.
+
+    Its straight-line track through the volume places each slab's tube
+    window (slanted tubes) — chief slopes reach ~0.1, several voxels of
+    lateral drift over the volume depth, so vertical columns would miss
+    at the field edges.  Returns ``entry`` (entry_x, entry_y, slope_x,
+    slope_y) at the volume top and ``chief`` (pos3, dir3).
     """
-    params = RenderParams.from_setup(cfg, setup, source)
-    if not _axis_aligned(setup):
-        raise NotImplementedError("fast path requires the axis-aligned "
-                                  "single-lens train")
-    rotated = not np.allclose(setup.rotation_matrix, np.eye(3))
-    rot = np.asarray(setup.rotation_matrix, np.float32)
-    inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float32)
+    shift = jnp.float32(z_offset + 750e3)
+    dden = image_distance - zs
+    ctx = xs / dden
+    cty = ys / dden
+    cinv = 1.0 / jnp.sqrt(ctx * ctx + cty * cty + 1.0)
+    cdir_cam = jnp.stack([ctx * cinv, cty * cinv, -cinv])   # (3, P)
+    cpos_cam = jnp.stack([xs, ys, zs - shift])
+    cdir_w = inv_rot @ cdir_cam
+    cpos_w = inv_rot @ cpos_cam
+    z_top = vol.max_bound[2]
+    t_ent = (z_top - cpos_w[2]) / cdir_w[2]
+    entry = (cpos_w[0] + cdir_w[0] * t_ent,
+             cpos_w[1] + cdir_w[1] * t_ent,
+             cdir_w[0] / cdir_w[2], cdir_w[1] / cdir_w[2])
+    chief = (cpos_w[0], cpos_w[1], cpos_w[2],
+             cdir_w[0], cdir_w[1], cdir_w[2])
+    return entry, chief
 
-    P = source.num_particles
-    R = int(source.lightray_number_per_particle)
 
-    xs = jnp.asarray(source.x)
-    ys = jnp.asarray(source.y)
-    zs = jnp.asarray(source.z)
-    rad = jnp.asarray(source.radiance, jnp.float32)
-    r1 = jnp.asarray(r1, jnp.float32)
-    r2 = jnp.asarray(r2, jnp.float32)
-
-    st = setup.elements
-    lens_params = (float(setup.z_lens), float(st.pitch[0]),
-                   float(st.vertex_distance[0]),
-                   float(st.front_surface_radius[0]),
-                   float(st.back_surface_radius[0]),
-                   float(st.refractive_index[0]),
-                   float(st.transmission_ratio[0]))
-
-    # Mie scattering: the per-ray scattering angles within a particle's
-    # 1-um lens cone are identical to ~1e-6 rad, so the irradiance lookup
-    # collapses to one table interpolation per particle
-    # (ref per-ray version: parallel_ray_tracing.cu:144-210)
-    mie_irr = None
-    if scattering is not None:
-        angles = np.asarray(scattering["scattering_angle"])
-        table = np.asarray(scattering["scattering_irradiance"],
-                           dtype=np.float32)              # (A, D)
-        beam = np.asarray(scattering["beam_propogation_vector"],
-                          dtype=np.float64)
-        diam_idx = np.asarray(source.diameter_index, np.int32)
-        dden = params.image_distance - np.asarray(source.z, np.float64)
-        ctx = np.asarray(source.x, np.float64) / dden
-        cty = np.asarray(source.y, np.float64) / dden
-        cinv = 1.0 / np.sqrt(ctx * ctx + cty * cty + 1.0)
-        # world frame == camera frame on this (zero-angle) path
-        cosang = np.clip(beam[0] * ctx * cinv + beam[1] * cty * cinv
-                         + beam[2] * (-cinv), -1.0, 1.0)
-        ang = np.arccos(cosang)
-        a = (ang - angles[0]) / (angles[1] - angles[0])
-        a0 = np.clip(np.floor(a).astype(np.int32), 0, table.shape[0] - 2)
-        frac = (a - a0).astype(np.float32)
-        rows = table[:, :].T[diam_idx]                    # (P, A)
-        irr_l = rows[np.arange(len(a0)), a0]
-        irr_u = rows[np.arange(len(a0)), a0 + 1]
-        mie_irr = jnp.asarray(irr_l + frac * (irr_u - irr_l))
-        rad = rad * mie_irr      # fold per-particle irradiance into radiance
-
-    tubes = None
-    chief = None
-    entry = None
-    if vol is not None:
-        # chief ray per particle (toward the lens center), world frame:
-        # its straight-line track through the volume places each slab's
-        # tube window (slanted tubes) — chief slopes reach ~0.1, several
-        # voxels of lateral drift over the volume depth, so vertical
-        # columns would miss at the field edges
-        shift = jnp.float32(params.z_offset + 750e3)
-        dden = params.image_distance - zs
-        ctx = xs / dden
-        cty = ys / dden
-        cinv = 1.0 / jnp.sqrt(ctx * ctx + cty * cty + 1.0)
-        cdir_cam = jnp.stack([ctx * cinv, cty * cinv, -cinv])   # (3, P)
-        cpos_cam = jnp.stack([xs, ys, zs - shift])
-        cdir_w = jnp.asarray(inv_rot) @ cdir_cam
-        cpos_w = jnp.asarray(inv_rot) @ cpos_cam
-        z_top = vol.max_bound[2]
-        t_ent = (z_top - cpos_w[2]) / cdir_w[2]
-        entry_x = cpos_w[0] + cdir_w[0] * t_ent
-        entry_y = cpos_w[1] + cdir_w[1] * t_ent
-        slope_x = cdir_w[0] / cdir_w[2]
-        slope_y = cdir_w[1] / cdir_w[2]
-        chief = (cpos_w[0], cpos_w[1], cpos_w[2],
-                 cdir_w[0], cdir_w[1], cdir_w[2])
-        entry = (entry_x, entry_y, slope_x, slope_y)
+def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
+                   params: RenderParams, lens_params, rotated: bool,
+                   algorithm: int, patch: int,
+                   particles_per_chunk, march_particles_per_chunk,
+                   chief_march: bool, per_ray_splat: bool,
+                   use_pallas: bool):
+    """arrays -> raw image; all keyword args are trace-time static."""
+    P = xs.shape[0]
+    R = r1.shape[0]
 
     # ---- density march: per-particle chief deltas, computed once ------
     # (marching P chief rays instead of P*R fan rays is exact to the
@@ -256,15 +194,20 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     # per-particle array.  Extraction + march run in bounded particle
     # chunks so the transient tube arrays never crowd HBM.)
     deltas6 = None
-    if vol is not None and chief_march:
-        deltas6 = chief_deltas_chunked_jit(
-            vol, *entry, *chief, algorithm=algorithm,
-            particles_per_chunk=march_particles_per_chunk,
-            use_pallas=use_pallas)
-    elif vol is not None:
-        # validation path (march every fan ray): needs the full tubes
-        tubes = extract_tubes(vol, entry[0], entry[1],
-                              slope_x=entry[2], slope_y=entry[3])
+    tubes = None
+    if vol is not None:
+        entry, chief = _chief_geometry(vol, xs, ys, zs, inv_rot,
+                                       params.z_offset,
+                                       params.image_distance)
+        if chief_march:
+            deltas6 = chief_deltas_chunked(
+                vol, *entry, *chief, algorithm=algorithm,
+                particles_per_chunk=march_particles_per_chunk,
+                use_pallas=use_pallas)
+        else:
+            # validation path (march every fan ray): needs the full tubes
+            tubes = extract_tubes(vol, entry[0], entry[1],
+                                  slope_x=entry[2], slope_y=entry[3])
     has_march = deltas6 is not None
     per_ray_march = vol is not None and not chief_march
     shift_f = jnp.float32(params.z_offset + 750e3)
@@ -295,6 +238,8 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         dz = r[2, 0] * wdx + r[2, 1] * wdy + r[2, 2] * wdz
         inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
         return px, py, pz, dx * inv, dy * inv, dz * inv
+
+    st = lens_params
 
     # ---- per-chunk renderer (all (Pc, R) SoA) -------------------------
     def render_chunk(xs, ys, zs, rad, dz_exit, dpx, dpy, ddx, ddy, ddz):
@@ -350,12 +295,12 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         else:
             if params.lens_model == "thin-lens":
                 px, py, pz, dx, dy, dz, valid = propagate_thin_lens_soa(
-                    px, py, pz, dx, dy, dz, valid, float(setup.z_lens),
-                    lens_params[1], float(st.thin_lens_focal_length[0]))
+                    px, py, pz, dx, dy, dz, valid, st[0], st[1],
+                    params.thin_lens_focal_length)
             else:
                 px, py, pz, dx, dy, dz, valid, trans = \
                     propagate_thick_lens_soa(px, py, pz, dx, dy, dz,
-                                             valid, lens_params)
+                                             valid, st)
                 amp0 = amp0 * trans
             # sensor plane
             t = (params.z_sensor - pz) / dz
@@ -403,39 +348,9 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     zero_p = jnp.zeros_like(xs)
     d6 = deltas6 if has_march else (zero_p,) * 6
 
-    # ---- multi-chip: particles sharded over the mesh, image psum'd ----
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import NamedSharding, PartitionSpec as Pspec
-
-        n_dev = mesh.devices.size
-        axis = mesh.axis_names[0]
-        pad = (-P) % n_dev
-
-        def padp(a, fill=0.0):
-            if pad == 0:
-                return jnp.asarray(a)
-            return jnp.concatenate([
-                jnp.asarray(a),
-                jnp.full((pad,) + np.asarray(a).shape[1:], fill,
-                         np.asarray(a).dtype)])
-
-        sharded = [padp(xs), padp(ys), padp(zs, 1.0), padp(rad)] \
-            + [padp(a) for a in d6]
-        ray_shard = NamedSharding(mesh, Pspec(axis))
-
-        @partial(shard_map, mesh=mesh, in_specs=(Pspec(axis),) * 10,
-                 out_specs=Pspec())
-        def run_sharded(*args):
-            img = render_chunk(*args)
-            return jax.lax.psum(img, axis)
-
-        return jax.jit(run_sharded)(
-            *[jax.device_put(a, ray_shard) for a in sharded])
-
     # ---- chunking over particles --------------------------------------
     if particles_per_chunk is None or particles_per_chunk >= P:
-        return jax.jit(render_chunk)(xs, ys, zs, rad, *d6)
+        return render_chunk(xs, ys, zs, rad, *d6)
 
     n_chunks = math.ceil(P / particles_per_chunk)
     pc = particles_per_chunk
@@ -447,17 +362,176 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill,
                                             a.dtype)])
 
-    chunked = [padp(xs).reshape(n_chunks, pc),
-               padp(ys).reshape(n_chunks, pc),
-               padp(zs, 1.0).reshape(n_chunks, pc),
-               padp(rad).reshape(n_chunks, pc)] \
-        + [padp(a).reshape(n_chunks, pc) for a in d6]
+    chunked = tuple(
+        [padp(xs).reshape(n_chunks, pc),
+         padp(ys).reshape(n_chunks, pc),
+         padp(zs, 1.0).reshape(n_chunks, pc),
+         padp(rad).reshape(n_chunks, pc)]
+        + [padp(a).reshape(n_chunks, pc) for a in d6])
 
-    @jax.jit
-    def run():
-        def body(img, c):
-            return img + render_chunk(*c), None
-        init = jnp.zeros((params.ny, params.nx), jnp.float32)
-        img, _ = jax.lax.scan(body, init, tuple(chunked))
-        return img
-    return run()
+    def body(img, c):
+        return img + render_chunk(*c), None
+    init = jnp.zeros((params.ny, params.nx), jnp.float32)
+    img, _ = jax.lax.scan(body, init, chunked)
+    return img
+
+
+_STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
+                 "particles_per_chunk", "march_particles_per_chunk",
+                 "chief_march", "per_ray_splat", "use_pallas")
+
+_render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
+
+_sharded_cache = {}
+
+
+def _get_sharded_render(mesh, statics: dict):
+    """One compiled sharded renderer per (mesh, static config).
+
+    Particles shard over the mesh's first axis; the volume, the shared
+    lens samples and the rotation matrices are replicated; each shard
+    marches its own chief rays and renders a full image, reduced with a
+    single psum (ICI all-reduce).
+    """
+    key = (mesh, tuple(sorted(statics.items())))
+    fn = _sharded_cache.get(key)
+    if fn is not None:
+        return fn
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    axis = mesh.axis_names[0]
+    part = Pspec(axis)
+    repl = Pspec()
+
+    def run(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot):
+        img = _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
+                             **statics)
+        return jax.lax.psum(img, axis)
+
+    fn = jax.jit(shard_map(
+        run, mesh=mesh,
+        in_specs=(repl, part, part, part, part, repl, repl, repl, repl),
+        out_specs=repl))
+    _sharded_cache[key] = fn
+    return fn
+
+
+def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
+                      source: LightfieldSource, r1, r2,
+                      vol: Optional[DensityVolume] = None,
+                      algorithm: int = 2,
+                      patch: int = 12,
+                      particles_per_chunk: Optional[int] = None,
+                      march_particles_per_chunk: Optional[int] = 16384,
+                      chief_march: bool = True,
+                      per_ray_splat: bool = False,
+                      scattering=None,
+                      mesh=None,
+                      use_pallas: bool = False,
+                      ) -> jnp.ndarray:
+    """Render the raw image with the (P, R) SoA pipeline.
+
+    Supports the axis-aligned single-lens train with 'apparent',
+    'thin-lens' or 'general' lens models, camera rotation, diffuse or
+    Mie scattering; other configurations fall back to
+    photon_tpu.models.render.render_image.
+
+    ``chief_march``: march one chief ray per particle and broadcast its
+    deflection to the fan (exact to the ~1 um lens-cone width; set False
+    to march every ray through its tube).  ``per_ray_splat``: deposit
+    every ray's own erf spot instead of one spot per particle at the
+    amplitude-weighted centroid (needed with per-ray position noise).
+
+    Host-side work is scene prep only (Mie table lookup, static
+    parameter packing); the whole array->image path runs as one jitted
+    XLA program (cached across calls on the static config).
+    """
+    params = RenderParams.from_setup(cfg, setup, source)
+    if not _axis_aligned(setup):
+        raise NotImplementedError("fast path requires the axis-aligned "
+                                  "single-lens train")
+    rotated = not np.allclose(setup.rotation_matrix, np.eye(3))
+    rot = np.asarray(setup.rotation_matrix, np.float32)
+    inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float32)
+
+    P = source.num_particles
+
+    xs = np.asarray(source.x, np.float32)
+    ys = np.asarray(source.y, np.float32)
+    zs = np.asarray(source.z, np.float32)
+    rad = np.asarray(source.radiance, np.float32)
+    r1 = np.asarray(r1, np.float32)
+    r2 = np.asarray(r2, np.float32)
+
+    st = setup.elements
+    lens_params = (float(setup.z_lens), float(st.pitch[0]),
+                   float(st.vertex_distance[0]),
+                   float(st.front_surface_radius[0]),
+                   float(st.back_surface_radius[0]),
+                   float(st.refractive_index[0]),
+                   float(st.transmission_ratio[0]))
+
+    # Mie scattering: the per-ray scattering angles within a particle's
+    # 1-um lens cone are identical to ~1e-6 rad, so the irradiance lookup
+    # collapses to one table interpolation per particle
+    # (ref per-ray version: parallel_ray_tracing.cu:144-210)
+    if scattering is not None:
+        angles = np.asarray(scattering["scattering_angle"])
+        table = np.asarray(scattering["scattering_irradiance"],
+                           dtype=np.float32)              # (A, D)
+        beam = np.asarray(scattering["beam_propogation_vector"],
+                          dtype=np.float64)
+        diam_idx = np.asarray(source.diameter_index, np.int32)
+        dden = params.image_distance - np.asarray(source.z, np.float64)
+        ctx = np.asarray(source.x, np.float64) / dden
+        cty = np.asarray(source.y, np.float64) / dden
+        cinv = 1.0 / np.sqrt(ctx * ctx + cty * cty + 1.0)
+        # world frame == camera frame on this (zero-angle) path
+        cosang = np.clip(beam[0] * ctx * cinv + beam[1] * cty * cinv
+                         + beam[2] * (-cinv), -1.0, 1.0)
+        ang = np.arccos(cosang)
+        a = (ang - angles[0]) / (angles[1] - angles[0])
+        a0 = np.clip(np.floor(a).astype(np.int32), 0, table.shape[0] - 2)
+        frac = (a - a0).astype(np.float32)
+        rows = table[:, :].T[diam_idx]                    # (P, A)
+        irr_l = rows[np.arange(len(a0)), a0]
+        irr_u = rows[np.arange(len(a0)), a0 + 1]
+        mie_irr = irr_l + frac * (irr_u - irr_l)
+        rad = rad * mie_irr      # fold per-particle irradiance into radiance
+
+    statics = dict(params=params, lens_params=lens_params, rotated=rotated,
+                   algorithm=algorithm, patch=patch,
+                   particles_per_chunk=particles_per_chunk,
+                   march_particles_per_chunk=march_particles_per_chunk,
+                   chief_march=chief_march, per_ray_splat=per_ray_splat,
+                   use_pallas=use_pallas)
+
+    if vol is not None:
+        # array-ify the float leaves so the volume shards/jits uniformly
+        vol = vol._replace(data_min=jnp.float32(vol.data_min),
+                           step_size=jnp.float32(vol.step_size),
+                           max_step_size=jnp.float32(vol.max_step_size))
+
+    # ---- multi-chip: particles sharded over the mesh, image psum'd ----
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        n_dev = mesh.devices.size
+        axis = mesh.axis_names[0]
+        pad = (-P) % n_dev
+
+        def padp(a, fill=0.0):
+            if pad == 0:
+                return a
+            return np.concatenate([a, np.full((pad,) + a.shape[1:], fill,
+                                              a.dtype)])
+
+        ray_shard = NamedSharding(mesh, Pspec(axis))
+        sharded = [jax.device_put(a, ray_shard) for a in
+                   (padp(xs), padp(ys), padp(zs, 1.0), padp(rad))]
+        fn = _get_sharded_render(mesh, statics)
+        return fn(vol, *sharded, r1, r2, rot, inv_rot)
+
+    return _render_fast_jit(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
+                            **statics)
