@@ -55,6 +55,8 @@ class RenderParams:
     z_offset: float
     object_distance: float
     thin_lens_focal_length: float
+    add_pos_noise: bool = False
+    pos_noise_std: float = 0.0       # fraction of a pixel
 
     @classmethod
     def from_setup(cls, cfg: SimulationConfig, setup: CameraSetup,
@@ -80,6 +82,8 @@ class RenderParams:
             object_distance=float(source.object_distance),
             thin_lens_focal_length=float(
                 setup.elements.thin_lens_focal_length[0]),
+            add_pos_noise=bool(cfg.density_gradients.add_pos_noise),
+            pos_noise_std=float(cfg.density_gradients.pos_noise_std),
         )
 
 
@@ -187,12 +191,29 @@ def apparent_image_rays(rays: RayBundle, params: RenderParams) -> RayBundle:
     return RayBundle(pos, direction, rays.wavelength, rays.radiance)
 
 
-def apparent_image_splat(rays: RayBundle, params: RenderParams, image):
+def _apply_position_noise(rays: RayBundle, params: RenderParams,
+                          noise_key) -> RayBundle:
+    """Gaussian sensor-position noise: N(0, 1) * std * pixel_pitch added to
+    the final intersection point before pixel mapping (all three sensor
+    paths in the reference do this identically; ref:
+    parallel_ray_tracing.cu:1424-1434, :1607-1615, :1773-1781)."""
+    if not params.add_pos_noise:
+        return rays
+    noise = jax.random.normal(noise_key, (rays.pos.shape[0], 2),
+                              dtype=rays.pos.dtype)
+    scale = jnp.float32(params.pos_noise_std * params.pixel_pitch)
+    pos = rays.pos.at[:, :2].add(noise * scale)
+    return RayBundle(pos, rays.dir, rays.wavelength, rays.radiance)
+
+
+def apparent_image_splat(rays: RayBundle, params: RenderParams, image,
+                         noise_key=None):
     """Apparent-image model + full-circle erf splat (render_fraction = 1.0).
 
     (ref: create_apparent_image:1545-1733)
     """
     img_rays = apparent_image_rays(rays, params)
+    img_rays = _apply_position_noise(img_rays, params, noise_key)
     return image + diffraction_splat(
         img_rays.pos, img_rays.dir, img_rays.radiance, img_rays.valid,
         nx=params.nx, ny=params.ny, pixel_pitch=params.pixel_pitch,
@@ -207,13 +228,15 @@ def sensor_plane_rays(rays: RayBundle, params: RenderParams) -> RayBundle:
     return RayBundle(hit, rays.dir, rays.wavelength, rays.radiance)
 
 
-def sensor_splat(rays: RayBundle, params: RenderParams, image):
+def sensor_splat(rays: RayBundle, params: RenderParams, image,
+                 noise_key=None):
     """Intersect the sensor plane and deposit radiance.
 
     (ref: intersect_sensor_02 / intersect_sensor dispatch at
     parallel_ray_tracing.cu:2178-2241)
     """
     on_sensor = sensor_plane_rays(rays, params)
+    on_sensor = _apply_position_noise(on_sensor, params, noise_key)
     if params.implement_diffraction:
         return image + diffraction_splat(
             on_sensor.pos, on_sensor.dir, on_sensor.radiance, on_sensor.valid,
@@ -261,7 +284,7 @@ def _generate_and_march(chunk, params: RenderParams, march_fn,
 
 def trace_chunk(chunk, params: RenderParams, stack, march_fn,
                 rotation_matrix, inverse_rotation_matrix,
-                scattering_static):
+                scattering_static, noise_key=None):
     """Render one particle chunk into a partial image.
 
     ``chunk`` is (x, y, z, radiance, diameter_index, r1, r2).
@@ -271,14 +294,14 @@ def trace_chunk(chunk, params: RenderParams, stack, march_fn,
                                inverse_rotation_matrix, scattering_static)
     image = jnp.zeros((params.ny, params.nx), dtype=jnp.float32)
     if params.lens_model == "apparent":
-        return apparent_image_splat(rays, params, image)
+        return apparent_image_splat(rays, params, image, noise_key=noise_key)
     rays = propagate_system(rays, stack, params.lens_model)
-    return sensor_splat(rays, params, image)
+    return sensor_splat(rays, params, image, noise_key=noise_key)
 
 
 def trace_final_rays(chunk, params: RenderParams, stack, march_fn,
                      rotation_matrix, inverse_rotation_matrix,
-                     scattering_static) -> RayBundle:
+                     scattering_static, noise_key=None) -> RayBundle:
     """Run the full pipeline but return the final per-ray state instead of
     splatting — the analogue of the reference's saved pos/dir dumps
     (ref: parallel_ray_tracing.cu:3561-3670), consumed by
@@ -286,9 +309,17 @@ def trace_final_rays(chunk, params: RenderParams, stack, march_fn,
     rays = _generate_and_march(chunk, params, march_fn, rotation_matrix,
                                inverse_rotation_matrix, scattering_static)
     if params.lens_model == "apparent":
-        return apparent_image_rays(rays, params)
-    rays = propagate_system(rays, stack, params.lens_model)
-    return sensor_plane_rays(rays, params)
+        rays = apparent_image_rays(rays, params)
+    else:
+        rays = propagate_system(rays, stack, params.lens_model)
+        rays = sensor_plane_rays(rays, params)
+    if params.add_pos_noise:
+        # the reference's dumps record the post-noise intersection
+        # (noise lands in ray_source_coordinates before the save)
+        if noise_key is None:
+            noise_key = jax.random.key(0)
+        rays = _apply_position_noise(rays, params, noise_key)
+    return rays
 
 
 def render_rays(cfg: SimulationConfig, setup: CameraSetup,
@@ -331,7 +362,8 @@ def _scattering_static(scattering):
 def render_image(cfg: SimulationConfig, setup: CameraSetup,
                  source: LightfieldSource, r1, r2,
                  march_fn=None, scattering=None,
-                 rays_per_chunk: int = 2_000_000) -> jnp.ndarray:
+                 rays_per_chunk: int = 2_000_000,
+                 noise_seed: Optional[int] = None) -> jnp.ndarray:
     """Render the full raw image for a light-field source.
 
     Chunks particles so at most ~rays_per_chunk rays are in flight
@@ -361,20 +393,25 @@ def render_image(cfg: SimulationConfig, setup: CameraSetup,
     r1 = jnp.asarray(r1, dtype=jnp.float32)
     r2 = jnp.asarray(r2, dtype=jnp.float32)
 
+    noise_keys = jax.random.split(
+        jax.random.key(cfg.seed if noise_seed is None else noise_seed),
+        n_chunks)
+
     @jax.jit
-    def run(xs, ys, zs, rad, diam, r1, r2):
+    def run(xs, ys, zs, rad, diam, r1, r2, noise_keys):
         def body(image, chunk):
-            x, y, z, rd, di = chunk
+            x, y, z, rd, di, nk = chunk
             img = trace_chunk((x, y, z, rd, di, r1, r2), params,
                               setup.elements, march_fn,
                               setup.rotation_matrix,
                               setup.inverse_rotation_matrix,
-                              scattering_static)
+                              scattering_static, noise_key=nk)
             return image + img, None
 
         init = jnp.zeros((params.ny, params.nx), dtype=jnp.float32)
-        image, _ = jax.lax.scan(body, init, (xs, ys, zs, rad, diam))
+        image, _ = jax.lax.scan(body, init,
+                                (xs, ys, zs, rad, diam, noise_keys))
         return image
 
     return run(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs),
-               jnp.asarray(rad), jnp.asarray(diam), r1, r2)
+               jnp.asarray(rad), jnp.asarray(diam), r1, r2, noise_keys)

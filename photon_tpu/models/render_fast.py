@@ -33,10 +33,13 @@ from photon_tpu.config import SimulationConfig
 from photon_tpu.models.optics import CameraSetup
 from photon_tpu.models.render import RenderParams
 from photon_tpu.models.scenes import LightfieldSource
+from photon_tpu.ops.march_dense import (chief_deltas_dense,
+                                        dense_march_supported)
 from photon_tpu.ops.march_fast import (apply_chief_deltas,
                                        chief_deltas_chunked,
                                        extract_tubes, march_tubes)
-from photon_tpu.ops.sensor_fast import particle_splat, patch_splat
+from photon_tpu.ops.sensor_fast import (bilinear_patch_splat, particle_splat,
+                                        patch_splat)
 from photon_tpu.volume import DensityVolume
 
 
@@ -178,12 +181,14 @@ def _chief_geometry(vol, xs, ys, zs, inv_rot, z_offset, image_distance):
     return entry, chief
 
 
-def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
+def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
+                   noise_key=None, *,
                    params: RenderParams, lens_params, rotated: bool,
                    algorithm: int, patch: int,
                    particles_per_chunk, march_particles_per_chunk,
                    chief_march: bool, per_ray_splat: bool,
-                   use_pallas: bool):
+                   use_pallas: bool, interpolation_scheme: int = 1,
+                   dense_march: bool = True):
     """arrays -> raw image; all keyword args are trace-time static."""
     P = xs.shape[0]
     R = r1.shape[0]
@@ -191,15 +196,20 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
     # ---- density march: per-particle chief deltas, computed once ------
     # (marching P chief rays instead of P*R fan rays is exact to the
     # ~1 um lens-cone width; the deltas then chunk/shard like any other
-    # per-particle array.  Extraction + march run in bounded particle
-    # chunks so the transient tube arrays never crowd HBM.)
+    # per-particle array.  ``dense_march`` uses the gather-free matmul
+    # interpolation (ops.march_dense, ~27x faster than the tube path on
+    # the BOS bench); tube extraction remains for very large volumes.)
     deltas6 = None
     tubes = None
     if vol is not None:
         entry, chief = _chief_geometry(vol, xs, ys, zs, inv_rot,
                                        params.z_offset,
                                        params.image_distance)
-        if chief_march:
+        if chief_march and dense_march:
+            deltas6 = chief_deltas_dense(
+                vol, *chief, algorithm=algorithm,
+                interpolation_scheme=interpolation_scheme)
+        elif chief_march:
             deltas6 = chief_deltas_chunked(
                 vol, *entry, *chief, algorithm=algorithm,
                 particles_per_chunk=march_particles_per_chunk,
@@ -242,7 +252,8 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
     st = lens_params
 
     # ---- per-chunk renderer (all (Pc, R) SoA) -------------------------
-    def render_chunk(xs, ys, zs, rad, dz_exit, dpx, dpy, ddx, ddy, ddz):
+    def render_chunk(xs, ys, zs, rad, dz_exit, dpx, dpy, ddx, ddy, ddz,
+                     nkey=None):
         # ray generation (ref: :104-130)
         cone = params.ray_cone_pitch_ratio * params.lens_pitch
         x_lens = cone * r1 * jnp.cos(2.0 * jnp.pi * r2)    # (R,)
@@ -308,12 +319,24 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
             iy = py + dy * t
             fdx, fdy, fdz = dx, dy, dz
 
-        # pixel coordinates (mirrored x; ref: :1441-1447)
+        # per-ray sensor position noise: N(0,1) * std * pixel_pitch on the
+        # intersection point before pixel mapping (ref: :1424-1434)
+        if params.add_pos_noise:
+            n2 = jax.random.normal(nkey, (2,) + ix.shape, dtype=ix.dtype)
+            scale = jnp.float32(params.pos_noise_std * params.pixel_pitch)
+            ix = ix + n2[0] * scale
+            iy = iy + n2[1] * scale
+
+        # pixel coordinates (diffraction path mirrors x, ref: :1441-1447;
+        # the bilinear path does not, ref: :1814)
         nx, ny = params.nx, params.ny
         pitch = params.pixel_pitch
         pixel_1_x = -pitch * (nx - 1) / 2.0
         pixel_1_y = -pitch * (ny - 1) / 2.0
-        d_x = (nx - 1) - (ix - pixel_1_x) / pitch
+        if params.implement_diffraction:
+            d_x = (nx - 1) - (ix - pixel_1_x) / pitch
+        else:
+            d_x = (ix - pixel_1_x) / pitch
         d_y = (iy - pixel_1_y) / pitch
         on_sensor = (d_x >= 0) & (d_x < nx) & (d_y >= 0) & (d_y < ny)
         valid = valid & on_sensor
@@ -321,7 +344,9 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
         X = d_x - 0.5
         Y = d_y - 0.5
         cos2 = (fdz * fdz) / (fdx * fdx + fdy * fdy + fdz * fdz)
-        amp = amp0 * cos2 * cos2 * (8.0 / jnp.pi)
+        amp = amp0 * cos2 * cos2
+        if params.implement_diffraction:
+            amp = amp * (8.0 / jnp.pi)
         amp = jnp.where(valid, amp, 0.0)
 
         # per-particle amplitude-weighted ray centroid: doubles as the
@@ -335,6 +360,11 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
         pred_col = jnp.round(jnp.where(ok_p, Xbar, -1e6)).astype(jnp.int32)
         pred_row = jnp.round(jnp.where(ok_p, Ybar, -1e6)).astype(jnp.int32)
 
+        if not params.implement_diffraction:
+            # per-ray 4-pixel bilinear deposit (cannot collapse to the
+            # particle centroid: a fan's summed hat != the centroid's hat)
+            return bilinear_patch_splat(X, Y, amp, pred_col, pred_row,
+                                        nx=nx, ny=ny, patch=patch)
         if per_ray_splat:
             return patch_splat(X, Y, amp, pred_col, pred_row,
                                nx=nx, ny=ny,
@@ -347,10 +377,12 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
 
     zero_p = jnp.zeros_like(xs)
     d6 = deltas6 if has_march else (zero_p,) * 6
+    if params.add_pos_noise and noise_key is None:
+        noise_key = jax.random.key(0)
 
     # ---- chunking over particles --------------------------------------
     if particles_per_chunk is None or particles_per_chunk >= P:
-        return render_chunk(xs, ys, zs, rad, *d6)
+        return render_chunk(xs, ys, zs, rad, *d6, noise_key)
 
     n_chunks = math.ceil(P / particles_per_chunk)
     pc = particles_per_chunk
@@ -368,6 +400,8 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
          padp(zs, 1.0).reshape(n_chunks, pc),
          padp(rad).reshape(n_chunks, pc)]
         + [padp(a).reshape(n_chunks, pc) for a in d6])
+    if params.add_pos_noise:
+        chunked = chunked + (jax.random.split(noise_key, n_chunks),)
 
     def body(img, c):
         return img + render_chunk(*c), None
@@ -378,7 +412,8 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, *,
 
 _STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
                  "particles_per_chunk", "march_particles_per_chunk",
-                 "chief_march", "per_ray_splat", "use_pallas")
+                 "chief_march", "per_ray_splat", "use_pallas",
+                 "interpolation_scheme", "dense_march")
 
 _render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
 
@@ -404,14 +439,17 @@ def _get_sharded_render(mesh, statics: dict):
     part = Pspec(axis)
     repl = Pspec()
 
-    def run(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot):
+    def run(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, noise_key):
+        # decorrelate per-ray noise across shards
+        nk = jax.random.fold_in(noise_key, jax.lax.axis_index(axis))
         img = _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
-                             **statics)
+                             nk, **statics)
         return jax.lax.psum(img, axis)
 
     fn = jax.jit(shard_map(
         run, mesh=mesh,
-        in_specs=(repl, part, part, part, part, repl, repl, repl, repl),
+        in_specs=(repl, part, part, part, part, repl, repl, repl, repl,
+                  repl),
         out_specs=repl))
     _sharded_cache[key] = fn
     return fn
@@ -429,19 +467,24 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       scattering=None,
                       mesh=None,
                       use_pallas: bool = False,
+                      interpolation_scheme: int = 1,
+                      noise_seed: Optional[int] = None,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
     Supports the axis-aligned single-lens train with 'apparent',
     'thin-lens' or 'general' lens models, camera rotation, diffuse or
-    Mie scattering; other configurations fall back to
+    Mie scattering, erf-diffraction or bilinear sensor deposits, and
+    per-ray sensor position noise; other configurations fall back to
     photon_tpu.models.render.render_image.
 
     ``chief_march``: march one chief ray per particle and broadcast its
     deflection to the fan (exact to the ~1 um lens-cone width; set False
     to march every ray through its tube).  ``per_ray_splat``: deposit
     every ray's own erf spot instead of one spot per particle at the
-    amplitude-weighted centroid (needed with per-ray position noise).
+    amplitude-weighted centroid (forced on by position noise).
+    ``interpolation_scheme``: 1 trilinear, 2 tricubic B-spline (the
+    latter needs the dense matmul march, i.e. slab size <= 128x128).
 
     Host-side work is scene prep only (Mie table lookup, static
     parameter packing); the whole array->image path runs as one jitted
@@ -451,6 +494,17 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     if not _axis_aligned(setup):
         raise NotImplementedError("fast path requires the axis-aligned "
                                   "single-lens train")
+    dense_march = vol is not None and dense_march_supported(vol)
+    if vol is not None and not dense_march and (
+            int(interpolation_scheme) != 1 or int(algorithm) not in (1, 2)):
+        raise NotImplementedError(
+            "tube-march fallback (slabs > 128x128) supports trilinear "
+            "Euler/RK4 only")
+    per_ray_splat = per_ray_splat or params.add_pos_noise
+    noise_key = None
+    if params.add_pos_noise:
+        noise_key = jax.random.key(cfg.seed if noise_seed is None
+                                   else noise_seed)
     rotated = not np.allclose(setup.rotation_matrix, np.eye(3))
     rot = np.asarray(setup.rotation_matrix, np.float32)
     inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float32)
@@ -505,7 +559,9 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                    particles_per_chunk=particles_per_chunk,
                    march_particles_per_chunk=march_particles_per_chunk,
                    chief_march=chief_march, per_ray_splat=per_ray_splat,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas,
+                   interpolation_scheme=int(interpolation_scheme),
+                   dense_march=dense_march)
 
     if vol is not None:
         # array-ify the float leaves so the volume shards/jits uniformly
@@ -531,7 +587,8 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         sharded = [jax.device_put(a, ray_shard) for a in
                    (padp(xs), padp(ys), padp(zs, 1.0), padp(rad))]
         fn = _get_sharded_render(mesh, statics)
-        return fn(vol, *sharded, r1, r2, rot, inv_rot)
+        return fn(vol, *sharded, r1, r2, rot, inv_rot,
+                  noise_key if noise_key is not None else jax.random.key(0))
 
     return _render_fast_jit(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
-                            **statics)
+                            noise_key, **statics)

@@ -85,6 +85,50 @@ def _scatter_patches(patches, col0, row0, nx, ny):
     return image.reshape(ny, nx)
 
 
+@partial(jax.jit, static_argnames=("nx", "ny", "patch"))
+def bilinear_patch_splat(X, Y, amp, pred_col, pred_row, *, nx: int, ny: int,
+                         patch: int = 12):
+    """Per-ray 4-pixel bilinear splat, patch-accumulated (no diffraction).
+
+    Twin of ops.sensor.bilinear_splat for the (P, R) fast pipeline: the
+    bilinear deposit is exactly a 2-tap hat kernel centered at
+    ``d_x - 0.5`` / ``d_y - 0.5`` (unmirrored x), so the same separable
+    patch einsum applies with hat instead of erf weights.  The
+    reference's legacy ``(ii-1)*nx + (jj-1)`` accumulation shift
+    (parallel_ray_tracing.cu:2228) is reproduced by scattering the
+    patches one row/column up-left; weight masking uses the *unshifted*
+    pixel bounds, matching intersect_sensor (:1735-1895).
+
+    Args:
+      X, Y: (P, R) = d_x - 0.5 / d_y - 0.5, x NOT mirrored.
+      amp: (P, R) radiance * cos^4(alpha) (no 8/pi factor here).
+    """
+    K = patch
+    col0 = jnp.clip(pred_col - K // 2, -K, nx - 1)   # (P,)
+    row0 = jnp.clip(pred_row - K // 2, -K, ny - 1)
+
+    safe = jnp.isfinite(X) & jnp.isfinite(Y) & (amp > 0)
+    Xs = jnp.where(safe, X, -1e6)
+    Ys = jnp.where(safe, Y, -1e6)
+    amp = jnp.where(safe, amp, 0.0)
+
+    def hat(f):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(f))
+
+    cols = [col0[:, None] + j for j in range(K)]     # list of (P, 1)
+    rows = [row0[:, None] + i for i in range(K)]
+    wx = [jnp.where((c >= 0) & (c <= nx - 1), hat(c - Xs), 0.0)
+          for c in cols]
+    wy = [jnp.where((r >= 0) & (r <= ny - 1), hat(r - Ys), 0.0) * amp
+          for r in rows]
+
+    A = jnp.stack(wy)          # (K, P, R)
+    B = jnp.stack(wx)          # (K, P, R)
+    patches = jnp.einsum("ipr,jpr->pij", A, B,
+                         preferred_element_type=jnp.float32)  # (P, K, K)
+    return _scatter_patches(patches, col0 - 1, row0 - 1, nx, ny)
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "patch", "diameter"))
 def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
                    diameter: float, patch: int = 12):

@@ -53,36 +53,58 @@ def _lens_sample_pair(cfg: SimulationConfig, n_rays: int):
 
 
 def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
-                          scattering=None) -> bool:
+                          scattering=None, vol=None) -> bool:
     """Whether the speed-of-light (P, R) pipeline covers this config.
 
-    Requirements: the axis-aligned single-lens train, trilinear volume
-    interpolation with the Euler/RK4 integrators, and no per-ray noise
-    options (camera rotation and Mie scattering are supported).
+    Covered: the axis-aligned single-lens train ('apparent'/'thin-lens'/
+    'general' without dispersion or absorbance), camera rotation, Mie or
+    diffuse scattering, erf-diffraction or bilinear sensor deposits,
+    per-ray sensor position noise, and — with the dense matmul march
+    (slabs <= 128x128) — all four integrators x trilinear/tricubic.
+    Routed to the exact path: tilted/multi-element trains, gradient-index
+    noise, Abbe/Cauchy dispersion, nonzero absorbance, and big-volume
+    configs needing tricubic or RK45/AB4 (the scattering argument is
+    currently always coverable: the per-particle Mie collapse is valid
+    for every table).
     """
     from photon_tpu.models.render_fast import _axis_aligned
+    from photon_tpu.ops.march_dense import dense_march_supported
 
     dg = cfg.density_gradients
-    return (_axis_aligned(setup)
-            and not dg.add_pos_noise and not dg.add_ngrad_noise
-            and int(dg.interpolation_scheme) == 1
-            and int(dg.ray_tracing_algorithm) in (1, 2))
+    if not _axis_aligned(setup) or dg.add_ngrad_noise:
+        return False
+    if setup.lens_model == "general":
+        st = setup.elements
+        # fast thick lens has no dispersion/absorbance terms
+        if np.isfinite(float(st.abbe_number[0])) \
+                or float(st.absorbance_rate[0]) != 0.0:
+            return False
+    scheme = int(dg.interpolation_scheme)
+    alg = int(dg.ray_tracing_algorithm)
+    if vol is None:
+        return True        # no march stage: scheme/algorithm don't apply
+    if dense_march_supported(vol):
+        return scheme in (1, 2) and alg in (1, 2, 3, 4)
+    return scheme == 1 and alg in (1, 2)
 
 
 def _render(cfg: SimulationConfig, setup: CameraSetup, source, r1, r2,
             march_fn=None, vol=None, scattering=None,
-            rays_per_chunk: int = 2_000_000):
+            rays_per_chunk: int = 2_000_000, noise_seed=None):
     """Dispatch to the fast SoA renderer when the config allows it."""
     if vol is not None or march_fn is None:
-        if can_use_fast_renderer(cfg, setup, scattering):
+        if can_use_fast_renderer(cfg, setup, scattering, vol=vol):
             from photon_tpu.models.render_fast import render_image_fast
             return render_image_fast(
                 cfg, setup, source, r1, r2, vol=vol,
                 algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
-                scattering=scattering)
+                interpolation_scheme=int(
+                    cfg.density_gradients.interpolation_scheme),
+                scattering=scattering, noise_seed=noise_seed)
     from photon_tpu.models.render import render_image
     return render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
-                        scattering=scattering, rays_per_chunk=rays_per_chunk)
+                        scattering=scattering, rays_per_chunk=rays_per_chunk,
+                        noise_seed=noise_seed)
 
 
 def _march_fn_for(cfg: SimulationConfig, enable: bool):
@@ -122,7 +144,6 @@ def run_bos(cfg: SimulationConfig,
         source, dot_x, dot_y = bos_source(cfg, setup, rng)
         r1, r2 = _lens_sample_pair(cfg, source.lightray_number_per_particle)
 
-    fast_ok = can_use_fast_renderer(cfg, setup)
     vol = None
     if bool(cfg.density_gradients.density_gradient_filename):
         from photon_tpu.volume import load_density_volume
@@ -130,22 +151,26 @@ def run_bos(cfg: SimulationConfig,
             vol = load_density_volume(
                 cfg.density_gradients.density_gradient_filename,
                 gladstone_dale=cfg.density_gradients.gladstone_dale)
+    fast_ok = can_use_fast_renderer(cfg, setup, vol=vol)
 
     images, raws = {}, {}
     key = jax.random.key(cfg.seed + 7)
-    for name, gradients in (("bos_pattern_image_1", False),
-                            ("bos_pattern_image_2", True)):
+    for im_idx, (name, gradients) in enumerate(
+            (("bos_pattern_image_1", False),
+             ("bos_pattern_image_2", True))):
         # im1 always renders without gradients, im2 with them — regardless
         # of the config flag (ref: run_simulation_02.py:2034, 2064)
         use_vol = vol if gradients else None
         with timer.phase(f"render:{name}", num_rays=source.num_rays):
             if fast_ok:
-                raw = _render(cfg, setup, source, r1, r2, vol=use_vol)
+                raw = _render(cfg, setup, source, r1, r2, vol=use_vol,
+                              noise_seed=cfg.seed + im_idx)
             else:
                 march_fn = _march_fn_for(cfg, gradients and vol is not None)
                 raw = render_image(cfg, setup, source, r1, r2,
                                    march_fn=march_fn,
-                                   rays_per_chunk=rays_per_chunk)
+                                   rays_per_chunk=rays_per_chunk,
+                                   noise_seed=cfg.seed + im_idx)
             raw.block_until_ready()
         key, sub = jax.random.split(key)
         with timer.phase("postprocess"):
@@ -217,19 +242,29 @@ def run_piv(cfg: SimulationConfig,
 
     r1, r2 = _lens_sample_pair(cfg, pf.lightray_number_per_particle)
 
+    gradients = cfg.density_gradients.simulate_density_gradients
+    vol = None
+    if gradients:
+        from photon_tpu.volume import load_density_volume
+        vol = load_density_volume(
+            cfg.density_gradients.density_gradient_filename,
+            gladstone_dale=cfg.density_gradients.gladstone_dale)
+
     images, raws, sources = {}, {}, {}
     key = jax.random.key(cfg.seed + 7)
     for frame_index in pf.frame_vector:
         source = piv_source(cfg, setup, frame_index,
                             diameter_index_distribution=diameter_idx, rng=rng)
-        gradients = cfg.density_gradients.simulate_density_gradients
-        if not gradients and can_use_fast_renderer(cfg, setup, scattering):
-            raw = _render(cfg, setup, source, r1, r2, scattering=scattering)
+        if can_use_fast_renderer(cfg, setup, scattering, vol=vol):
+            raw = _render(cfg, setup, source, r1, r2, vol=vol,
+                          scattering=scattering,
+                          noise_seed=cfg.seed + int(frame_index))
         else:
             march_fn = _march_fn_for(cfg, gradients)
             raw = render_image(cfg, setup, source, r1, r2,
                                march_fn=march_fn, scattering=scattering,
-                               rays_per_chunk=rays_per_chunk)
+                               rays_per_chunk=rays_per_chunk,
+                               noise_seed=cfg.seed + int(frame_index))
         key, sub = jax.random.split(key)
         name = f"particle_image_frame_{frame_index:04d}"
         images[name], raws[name] = postprocess(cfg, raw, key=sub)
