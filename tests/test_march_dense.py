@@ -1,0 +1,245 @@
+"""Tests for the dense matmul-interpolation chief march (ops.march_dense)
+and the fast-path features it enables: tricubic interpolation, the full
+integrator menu, bilinear (diffraction-off) deposits, sensor position
+noise, and the fixed dispatch gate."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_bos_pipeline import bos_case, gradient_volume_between
+from photon_tpu.models.optics import camera_setup
+from photon_tpu.models.render import render_image
+from photon_tpu.models.render_fast import render_image_fast
+from photon_tpu.models.scenes import bos_source
+from photon_tpu.ops.lens import RayBundle
+from photon_tpu.ops.march import march_rays
+from photon_tpu.ops.march_dense import (bspline_prefilter_jax,
+                                        chief_deltas_dense,
+                                        dense_march_supported,
+                                        march_chief_dense)
+from photon_tpu.utils.rng import lens_samples
+
+
+def _chief_rays(P=7, span=8e4):
+    """Parallel downward chiefs across the field (marcher frame)."""
+    xs = np.linspace(-span / 2, span / 2, P).astype(np.float32)
+    pos = np.stack([xs, np.zeros(P), np.full(P, -5e4)], -1).astype(np.float32)
+    dirs = np.tile(np.asarray([0.0, 0.0, -1.0], np.float32), (P, 1))
+    return xs, pos, dirs
+
+
+@pytest.mark.parametrize("algorithm,scheme", [(1, 1), (2, 1), (2, 2),
+                                              (3, 1), (4, 1)])
+def test_dense_march_matches_exact(algorithm, scheme):
+    """Every integrator x interpolation combo tracks the exact marcher."""
+    cfg = bos_case("general")
+    setup = camera_setup(cfg)
+    vol, eps, Z_D = gradient_volume_between(setup)
+    assert dense_march_supported(vol)
+    xs, pos, dirs = _chief_rays()
+
+    # exact path: arc-length integrator, per-ray gathers
+    exact_alg = algorithm if algorithm != 3 else 2   # rk45 slot uses rk4x2
+    ref = march_rays(vol, RayBundle(jnp.asarray(pos), jnp.asarray(dirs),
+                                    jnp.zeros(len(xs)), jnp.ones(len(xs))),
+                     algorithm=exact_alg, interpolation_scheme=scheme)
+    ref_slope = np.asarray(ref.dir)[:, 0] / np.asarray(ref.dir)[:, 2]
+
+    out = march_chief_dense(
+        vol, jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+        jnp.asarray(pos[:, 2]), jnp.asarray(dirs[:, 0]),
+        jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]),
+        algorithm=algorithm, interpolation_scheme=scheme)
+    dense_slope = np.asarray(out[3]) / np.asarray(out[5])
+
+    np.testing.assert_allclose(dense_slope, ref_slope, rtol=0.03,
+                               atol=0.03 * np.abs(ref_slope).max())
+
+
+def test_dense_march_matches_tube_march():
+    """Dense and tube formulations implement the same z-slab RK4."""
+    from photon_tpu.ops.march_fast import extract_tubes, march_chief_deltas
+
+    cfg = bos_case("general")
+    setup = camera_setup(cfg)
+    vol, *_ = gradient_volume_between(setup)
+    xs, pos, dirs = _chief_rays()
+
+    tubes = extract_tubes(vol, jnp.asarray(xs), jnp.zeros(len(xs)))
+    d_tube = march_chief_deltas(
+        vol, tubes, jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+        jnp.asarray(pos[:, 2]), jnp.asarray(dirs[:, 0]),
+        jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]), algorithm=2)
+    d_dense = chief_deltas_dense(
+        vol, jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+        jnp.asarray(pos[:, 2]), jnp.asarray(dirs[:, 0]),
+        jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]), algorithm=2)
+    for a, b in zip(d_tube, d_dense):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(b, a, atol=1e-3 * scale)
+
+
+def test_prefilter_jax_matches_host():
+    """The differentiable lax.scan IIR equals the host float64 prefilter."""
+    from photon_tpu.ops.interp import bspline_prefilter
+
+    rng = np.random.default_rng(3)
+    field = rng.normal(size=(10, 12, 14, 4)).astype(np.float32)
+    host = bspline_prefilter(field)
+    dev = np.asarray(bspline_prefilter_jax(jnp.asarray(field)))
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-5)
+
+
+def test_dense_march_gradient_flows():
+    """d(deflection)/d(field) is finite and nonzero (inverse problems)."""
+    cfg = bos_case("general")
+    setup = camera_setup(cfg)
+    vol, *_ = gradient_volume_between(setup, n=16)
+    xs, pos, dirs = _chief_rays()
+
+    def loss(field):
+        d = chief_deltas_dense(
+            vol, jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+            jnp.asarray(pos[:, 2]), jnp.asarray(dirs[:, 0]),
+            jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]),
+            algorithm=2, field=field)
+        return jnp.sum(d[1] ** 2)
+
+    g = jax.grad(loss)(vol.field)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Fast-path features enabled this round
+# ---------------------------------------------------------------------------
+
+
+def _scene(lens_model="general", rays=32, **cfg_kw):
+    cfg = bos_case(lens_model, n_dots=6, rays=rays)
+    for k, v in cfg_kw.items():
+        obj = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], v)
+    setup = camera_setup(cfg)
+    src, dot_x, dot_y = bos_source(cfg, setup, np.random.default_rng(11))
+    r1, r2 = lens_samples(jax.random.key(5), rays)
+    return cfg, setup, src, r1, r2
+
+
+def test_fast_bilinear_matches_exact():
+    """implement_diffraction=False routes to the bilinear patch splat and
+    matches the exact bilinear path (incl. the legacy index shift)."""
+    cfg, setup, src, r1, r2 = _scene(
+        "general", **{"camera_design.implement_diffraction": False})
+    img_ref = np.asarray(render_image(cfg, setup, src, r1, r2))
+    img_fast = np.asarray(render_image_fast(cfg, setup, src, r1, r2))
+    assert img_ref.sum() > 0
+    np.testing.assert_allclose(img_fast.sum(), img_ref.sum(), rtol=1e-4)
+    l1 = np.abs(img_ref - img_fast).sum() / img_ref.sum()
+    assert l1 < 1e-3, l1
+
+
+def test_fast_tricubic_with_gradients_matches_exact():
+    cfg, setup, src, r1, r2 = _scene(
+        "general", **{"density_gradients.interpolation_scheme": 2})
+    vol, *_ = gradient_volume_between(setup, n=16)
+    from photon_tpu.ops.march import make_march_fn
+    march_fn = make_march_fn(vol, algorithm=2, interpolation_scheme=2)
+    img_ref = np.asarray(render_image(cfg, setup, src, r1, r2,
+                                      march_fn=march_fn))
+    img_fast = np.asarray(render_image_fast(cfg, setup, src, r1, r2,
+                                            vol=vol, interpolation_scheme=2))
+    l1 = np.abs(img_ref - img_fast).sum() / img_ref.sum()
+    assert l1 < 0.10, l1
+
+
+def test_position_noise_spreads_spots():
+    """Per-ray sensor noise: the rendered spot's second moment grows by
+    the configured std^2 (in pixels), in both exact and fast paths."""
+    noise_px = 2.0
+    cfg, setup, src, r1, r2 = _scene("apparent", rays=256)
+    cfg.bos_pattern.grid_point_number = 1
+
+    def second_moment(im):
+        ys, xs = np.mgrid[0:im.shape[0], 0:im.shape[1]]
+        w = im / im.sum()
+        cx = (w * xs).sum()
+        cy = (w * ys).sum()
+        return ((w * ((xs - cx) ** 2 + (ys - cy) ** 2)).sum()) / 2.0
+
+    base_fast = np.asarray(render_image_fast(cfg, setup, src, r1, r2))
+    base_exact = np.asarray(render_image(cfg, setup, src, r1, r2))
+
+    cfg.density_gradients.add_pos_noise = True
+    cfg.density_gradients.pos_noise_std = noise_px
+    noisy_fast = np.asarray(render_image_fast(cfg, setup, src, r1, r2))
+    noisy_exact = np.asarray(render_image(cfg, setup, src, r1, r2))
+
+    for base, noisy in ((base_fast, noisy_fast), (base_exact, noisy_exact)):
+        dvar = second_moment(noisy) - second_moment(base)
+        assert dvar == pytest.approx(noise_px ** 2, rel=0.25), dvar
+    # energy conserved (rays stay on sensor)
+    np.testing.assert_allclose(noisy_fast.sum(), base_fast.sum(), rtol=0.05)
+
+
+def test_dispatch_gate_routes_unsupported_configs():
+    from photon_tpu.pipeline import can_use_fast_renderer
+
+    cfg, setup, *_ = _scene("general")
+    vol, *_ = gradient_volume_between(setup, n=16)
+    assert can_use_fast_renderer(cfg, setup, vol=vol)
+
+    # dispersion and absorbance (custom element properties; the reference
+    # hardcodes NaN/0 in its single-lens builder, run_simulation_02.py:238,
+    # :254, but the element path honors them) are exact-path only
+    from photon_tpu.models.optics import create_camera_optical_system
+
+    cfg2, *_ = _scene("general")
+    asm = create_camera_optical_system(cfg2)
+    asm.elements[0].elements[0].abbe_number = 45.0
+    setup2 = camera_setup(cfg2, asm)
+    assert not can_use_fast_renderer(cfg2, setup2)
+
+    cfg3, *_ = _scene("general")
+    asm = create_camera_optical_system(cfg3)
+    asm.elements[0].elements[0].absorbance_rate = 0.1
+    setup3 = camera_setup(cfg3, asm)
+    assert not can_use_fast_renderer(cfg3, setup3)
+
+    # gradient-index noise is exact-path only
+    cfg4, setup4, *_ = _scene("general")
+    cfg4.density_gradients.add_ngrad_noise = True
+    assert not can_use_fast_renderer(cfg4, setup4, vol=vol)
+
+    # position noise, tricubic and the full integrator menu are covered
+    cfg5, setup5, *_ = _scene("general")
+    cfg5.density_gradients.add_pos_noise = True
+    cfg5.density_gradients.interpolation_scheme = 2
+    cfg5.density_gradients.ray_tracing_algorithm = 3
+    assert can_use_fast_renderer(cfg5, setup5, vol=vol)
+
+
+def test_run_bos_diffraction_off_end_to_end():
+    """run_bos with implement_diffraction=False produces the bilinear
+    image through whatever path the gate picks (regression for the
+    round-1 silent wrong-image bug)."""
+    from photon_tpu.pipeline import _lens_sample_pair, run_bos
+
+    cfg, setup, *_ = _scene(
+        "general", rays=16,
+        **{"camera_design.implement_diffraction": False})
+    result = run_bos(cfg)
+    img = result.raw_images["bos_pattern_image_1"]
+    # rebuild the identical scene with run_bos's seeding convention
+    src, *_ = bos_source(cfg, setup, np.random.default_rng(cfg.seed))
+    r1, r2 = _lens_sample_pair(cfg, src.lightray_number_per_particle)
+    ref = np.asarray(render_image(cfg, setup, src, r1, r2))
+    l1 = np.abs(ref - img).sum() / ref.sum()
+    assert l1 < 1e-3, l1
