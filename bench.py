@@ -136,6 +136,33 @@ def main() -> int:
     }
     if fwd_bwd_rays_per_s is not None:
         record["fwd_bwd_rays_per_s"] = fwd_bwd_rays_per_s
+
+    # march-variant shootout (production dense matmul march vs the tube
+    # fallback in XLA and Pallas form) — records why dense is the default
+    if os.environ.get("PHOTON_BENCH_VARIANTS", "1") == "1":
+        for key, kw in (
+                ("tube_xla_rays_per_s", dict(dense_march=False)),
+                ("tube_pallas_rays_per_s", dict(dense_march=False,
+                                                use_pallas=True))):
+            try:
+                def run_v():
+                    img = render_image_fast(cfg, setup, source, r1, r2,
+                                            vol=vol, **kw)
+                    img.block_until_ready()
+                run_v()  # compile
+                ts = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    run_v()
+                    ts.append(time.time() - t0)
+                record[key] = total_rays / min(ts)
+                print(f"# {key}: {[f'{t:.3f}' for t in ts]}",
+                      file=sys.stderr)
+            except Exception as e:  # variant failure must not kill bench
+                record[key] = None
+                print(f"# {key} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
     print(json.dumps(record))
     return 0
 

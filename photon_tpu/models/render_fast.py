@@ -466,9 +466,10 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       per_ray_splat: bool = False,
                       scattering=None,
                       mesh=None,
-                      use_pallas: bool = False,
+                      use_pallas: Optional[bool] = None,
                       interpolation_scheme: int = 1,
                       noise_seed: Optional[int] = None,
+                      dense_march: Optional[bool] = None,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
@@ -494,7 +495,18 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     if not _axis_aligned(setup):
         raise NotImplementedError("fast path requires the axis-aligned "
                                   "single-lens train")
-    dense_march = vol is not None and dense_march_supported(vol)
+    if dense_march is None:
+        dense_march = vol is not None and dense_march_supported(vol)
+    else:
+        dense_march = bool(dense_march) and vol is not None
+        if dense_march and not dense_march_supported(vol):
+            raise NotImplementedError("dense march needs slabs <= 128x128")
+    if use_pallas is None:
+        # tube fallback: the fused Pallas march slightly beats the XLA
+        # scan on TPU (see PARITY.md shootout); interpret-mode on CPU is
+        # slow, so auto-enable only on real TPU backends
+        use_pallas = (not dense_march and vol is not None
+                      and jax.default_backend() not in ("cpu",))
     if vol is not None and not dense_march and (
             int(interpolation_scheme) != 1 or int(algorithm) not in (1, 2)):
         raise NotImplementedError(

@@ -116,115 +116,6 @@ def sample_trilinear(field_flat, sizes, lookup):
     return jnp.einsum("nk,nkc->nc", wgt, corners)
 
 
-# ---------------------------------------------------------------------------
-# SoA variants (TPU-fast layouts: everything is (N,) component arrays)
-# ---------------------------------------------------------------------------
-
-
-def texture_lookup_soa(px, py, pz, min_bound, max_bound, sizes):
-    """Component-wise :func:`texture_lookup` (SoA hot path)."""
-    w, h, d = sizes
-    lx = 1.0 + (px - min_bound[0]) / (max_bound[0] - min_bound[0]) * (w - 2.0)
-    ly = 1.0 + (py - min_bound[1]) / (max_bound[1] - min_bound[1]) * (h - 2.0)
-    lz = 1.0 + (pz - min_bound[2]) / (max_bound[2] - min_bound[2]) * (d - 2.0)
-    return lx, ly, lz
-
-
-def inside_box_soa(px, py, pz, lx, ly, lz, min_bound, max_bound, sizes):
-    w, h, d = sizes
-    return ((px >= min_bound[0]) & (px < max_bound[0])
-            & (py >= min_bound[1]) & (py < max_bound[1])
-            & (pz >= min_bound[2]) & (pz < max_bound[2])
-            & (lx >= 0) & (lx < w) & (ly >= 0) & (ly < h)
-            & (lz >= 0) & (lz < d))
-
-
-def can_access_soa(lx, ly, lz, sizes):
-    w, h, d = sizes
-    return ((lx >= 0) & (lx < w) & (ly >= 0) & (ly < h)
-            & (lz >= 0) & (lz < d))
-
-
-def split_channels(field_flat):
-    """(D*H*W, C) -> tuple of C contiguous (D*H*W,) channel arrays.
-
-    Done once per volume so the marcher's gathers read well-tiled 1-D
-    buffers instead of a padded minor-dim-4 table.
-    """
-    return tuple(jnp.ascontiguousarray(field_flat[:, c])
-                 for c in range(field_flat.shape[-1]))
-
-
-def sample_trilinear_soa(channels, sizes, lx, ly, lz):
-    """Trilinear tex3D fetch over per-channel flat buffers.
-
-    Same math as :func:`sample_trilinear` but all intermediates are (N,)
-    or (8, N) — minor dimension N — so TPU tiling is dense.  Returns a
-    tuple of C (N,) arrays.
-    """
-    w, h, d = sizes
-    ux, uy, uz = lx - 0.5, ly - 0.5, lz - 0.5
-    fx, fy, fz = jnp.floor(ux), jnp.floor(uy), jnp.floor(uz)
-    tx, ty, tz = ux - fx, uy - fy, uz - fz
-    ix = fx.astype(jnp.int32)
-    iy = fy.astype(jnp.int32)
-    iz = fz.astype(jnp.int32)
-    x0 = jnp.clip(ix, 0, w - 1)
-    x1 = jnp.clip(ix + 1, 0, w - 1)
-    y0 = jnp.clip(iy, 0, h - 1)
-    y1 = jnp.clip(iy + 1, 0, h - 1)
-    z0 = jnp.clip(iz, 0, d - 1)
-    z1 = jnp.clip(iz + 1, 0, d - 1)
-
-    hw = h * w
-    idx = jnp.stack([
-        z0 * hw + y0 * w + x0, z0 * hw + y0 * w + x1,
-        z0 * hw + y1 * w + x0, z0 * hw + y1 * w + x1,
-        z1 * hw + y0 * w + x0, z1 * hw + y0 * w + x1,
-        z1 * hw + y1 * w + x0, z1 * hw + y1 * w + x1,
-    ])                                        # (8, N)
-    wx0, wx1 = 1.0 - tx, tx
-    wy0, wy1 = 1.0 - ty, ty
-    wz0, wz1 = 1.0 - tz, tz
-    wgt = jnp.stack([
-        wz0 * wy0 * wx0, wz0 * wy0 * wx1, wz0 * wy1 * wx0, wz0 * wy1 * wx1,
-        wz1 * wy0 * wx0, wz1 * wy0 * wx1, wz1 * wy1 * wx0, wz1 * wy1 * wx1,
-    ])                                        # (8, N)
-    return tuple((ch[idx] * wgt).sum(axis=0) for ch in channels)
-
-
-def sample_tricubic_soa(channels, sizes, lx, ly, lz):
-    """Tricubic B-spline fetch over per-channel flat coefficient buffers.
-
-    SoA twin of :func:`sample_tricubic`; intermediates are (64, N).
-    """
-    w, h, d = sizes
-    ux, uy, uz = lx - 0.5, ly - 0.5, lz - 0.5
-    fx, fy, fz = jnp.floor(ux), jnp.floor(uy), jnp.floor(uz)
-    tx, ty, tz = ux - fx, uy - fy, uz - fz
-    bx = fx.astype(jnp.int32) - 1
-    by = fy.astype(jnp.int32) - 1
-    bz = fz.astype(jnp.int32) - 1
-
-    wxs = _bspline_weights(tx)
-    wys = _bspline_weights(ty)
-    wzs = _bspline_weights(tz)
-    xs = [jnp.clip(bx + k, 0, w - 1) for k in range(4)]
-    ys = [jnp.clip(by + k, 0, h - 1) for k in range(4)]
-    zs = [jnp.clip(bz + k, 0, d - 1) for k in range(4)]
-
-    hw = h * w
-    idx_rows = []
-    wgt_rows = []
-    for kz in range(4):
-        for ky in range(4):
-            for kx in range(4):
-                idx_rows.append(zs[kz] * hw + ys[ky] * w + xs[kx])
-                wgt_rows.append(wzs[kz] * wys[ky] * wxs[kx])
-    idx = jnp.stack(idx_rows)                 # (64, N)
-    wgt = jnp.stack(wgt_rows)                 # (64, N)
-    return tuple((ch[idx] * wgt).sum(axis=0) for ch in channels)
-
 
 # ---------------------------------------------------------------------------
 # Cubic B-spline prefilter + tricubic sampling
