@@ -213,7 +213,8 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
             deltas6 = chief_deltas_chunked(
                 vol, *entry, *chief, algorithm=algorithm,
                 particles_per_chunk=march_particles_per_chunk,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas,
+                interpolation_scheme=interpolation_scheme)
         else:
             # validation path (march every fan ray): needs the full tubes
             tubes = extract_tubes(vol, entry[0], entry[1],
@@ -484,8 +485,10 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     to march every ray through its tube).  ``per_ray_splat``: deposit
     every ray's own erf spot instead of one spot per particle at the
     amplitude-weighted centroid (forced on by position noise).
-    ``interpolation_scheme``: 1 trilinear, 2 tricubic B-spline (the
-    latter needs the dense matmul march, i.e. slab size <= 128x128).
+    ``interpolation_scheme``: 1 trilinear, 2 tricubic B-spline — both
+    supported at any volume size (dense matmul march for slabs up to
+    128x128, prefiltered voxel-tube march beyond), as is the full
+    integrator menu (Euler/RK4/RK45-substep/AB4).
 
     Host-side work is scene prep only (Mie table lookup, static
     parameter packing); the whole array->image path runs as one jitted
@@ -498,20 +501,21 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     if dense_march is None:
         dense_march = vol is not None and dense_march_supported(vol)
     else:
+        if dense_march and vol is None:
+            raise ValueError("dense_march=True requires a density volume")
         dense_march = bool(dense_march) and vol is not None
         if dense_march and not dense_march_supported(vol):
             raise NotImplementedError("dense march needs slabs <= 128x128")
     if use_pallas is None:
         # tube fallback: the fused Pallas march slightly beats the XLA
-        # scan on TPU (see PARITY.md shootout); interpret-mode on CPU is
-        # slow, so auto-enable only on real TPU backends
+        # scan on TPU (see PARITY.md shootout); the kernel lowers only on
+        # real TPU backends (pltpu SMEM/DMA semaphores), is
+        # trilinear/Euler/RK4-only, and interpret mode on CPU is slow —
+        # so auto-enable strictly on 'tpu' for the configs it covers
         use_pallas = (not dense_march and vol is not None
-                      and jax.default_backend() not in ("cpu",))
-    if vol is not None and not dense_march and (
-            int(interpolation_scheme) != 1 or int(algorithm) not in (1, 2)):
-        raise NotImplementedError(
-            "tube-march fallback (slabs > 128x128) supports trilinear "
-            "Euler/RK4 only")
+                      and jax.default_backend() == "tpu"
+                      and int(interpolation_scheme) == 1
+                      and int(algorithm) in (1, 2))
     per_ray_splat = per_ray_splat or params.add_pos_noise
     noise_key = None
     if params.add_pos_noise:

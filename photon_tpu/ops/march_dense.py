@@ -135,15 +135,21 @@ def _b3(x):
 def _cubic_weights(u, n: int):
     """Dense cubic B-spline weights with clamped-tap edge folding: (P, n).
 
-    Interior weight of voxel i is B3(u - i); taps falling outside
-    [0, n-1] clamp onto the border voxel exactly as the 4-tap clamped
-    fetch (interp.sample_tricubic) does.
+    Exactly reproduces the 4-tap clamped gather (interp.sample_tricubic):
+    every tap's index clips to the border voxel, so weight of voxel i is
+    the sum of B3(u - j) over all taps j that clip onto i.  Clamping u
+    into [-2, n+1] is lossless — beyond that range every tap already
+    clips to the same border and the weights have saturated (B3 taps are
+    a partition of unity, so a far-outside coordinate samples the pure
+    border value).  Up to three taps can fold onto each border voxel
+    (e.g. u = -2: taps -3, -2, -1 all clip to 0).
     """
+    uc = jnp.clip(u, -2.0, n + 1.0)
     iota = jnp.arange(n, dtype=u.dtype)
-    w = _b3(u[:, None] - iota[None, :])
-    # fold the (at most two) out-of-range taps onto each border
-    left = _b3(u + 1.0) + _b3(u + 2.0)
-    right = _b3(u - n) + _b3(u - (n + 1.0))
+    w = _b3(uc[:, None] - iota[None, :])
+    # fold the (at most three) out-of-range taps onto each border
+    left = _b3(uc + 1.0) + _b3(uc + 2.0) + _b3(uc + 3.0)
+    right = _b3(uc - n) + _b3(uc - (n + 1.0)) + _b3(uc - (n + 2.0))
     w = w.at[:, 0].add(left).at[:, n - 1].add(right)
     return w
 

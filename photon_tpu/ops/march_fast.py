@@ -35,6 +35,7 @@ paraxial BOS oracle and against the exact-replica marcher.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -179,15 +180,50 @@ def _hat_weights(u, tw: int):
     return [jnp.maximum(0.0, 1.0 - jnp.abs(uc - i)) for i in range(tw)]
 
 
+def _b3(x):
+    """Cubic B-spline kernel B3(x), support |x| < 2."""
+    ax = jnp.abs(x)
+    inner = (4.0 - 6.0 * ax * ax + 3.0 * ax * ax * ax) / 6.0
+    outer = (2.0 - ax) ** 3 / 6.0
+    return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+
+
+def _cubic_tube_weights(u, tw: int):
+    """Cubic B-spline weights over the tube's integer grid, edge-folded.
+
+    Taps that fall outside the tube window fold onto its border column.
+    The window is chief-centered and clipped to the volume (extract_tubes),
+    so an out-of-window tap can only occur at the volume border, where the
+    border column IS the volume's border voxel — the fold (same formula as
+    march_dense._cubic_weights, which see for the derivation) therefore
+    reproduces the reference's clamped texture addressing
+    (ref: CubicInterpolationCUDA cubicTex3D.cu with cudaAddressModeClamp).
+    Requires tw >= 6 so interior rays keep their full 4-tap support.
+    """
+    uc = jnp.clip(u, -2.0, tw + 1.0)
+    w = [_b3(uc - i) for i in range(tw)]
+    w[0] = w[0] + _b3(uc + 1.0) + _b3(uc + 2.0) + _b3(uc + 3.0)
+    w[-1] = (w[-1] + _b3(uc - tw) + _b3(uc - (tw + 1.0))
+             + _b3(uc - (tw + 2.0)))
+    return w
+
+
 def march_tubes(vol: DensityVolume, tubes: TubeBundle,
                 x, y, z, dirx, diry, dirz,
-                algorithm: int = 2) -> Tuple:
+                algorithm: int = 2, interpolation_scheme: int = 1) -> Tuple:
     """March (P, R) ray fans through their tubes with a z-slab scan.
 
     Args:
       x, y, z: (P, R) world positions (marcher frame).
       dirx..dirz: (P, R) unit directions (dirz < 0: toward the sensor).
-      algorithm: 1 = Euler, otherwise RK4 (in the z parametrization).
+      algorithm: matches the reference's integrator menu
+        (trace_rays_through_density_gradients.h:1455-1544): 1 = Euler,
+        2 = RK4, 3 = RK4 with 2 substeps/slab (fixed-grid stand-in for
+        the adaptive RK45, ref :304-718), 4 = Adams-Bashforth-4 with
+        per-ray RK4 bootstrap (ref :1293-1453).
+      interpolation_scheme: 1 = trilinear, 2 = tricubic B-spline — the
+        tubes must then hold *prefiltered coefficients* (cut after
+        march_dense.bspline_prefilter_jax) and be >= 6 columns wide.
 
     Returns:
       (x, y, z, dirx, diry, dirz) after traversal.  Rays that do not
@@ -226,23 +262,25 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     Tz = n0 * dirz
 
     per_ray = x.ndim == 2
+    weights = (_cubic_tube_weights if interpolation_scheme == 2
+               else _hat_weights)
 
     def expand(origin):
         return origin[:, None] if per_ray else origin
 
     def sample(slab_lo, slab_hi, origins, px, py, tz):
-        """Trilinear sample between two slabs at per-ray (px, py, tz).
+        """Lateral-weighted sample between two slabs at per-ray (px, py, tz).
 
         ``origins`` = (x0_lo, y0_lo, x0_hi, y0_hi): slanted tubes cut
         each slab's window at a different place, so lo/hi weights use
         their own window origins.
         """
         x0l, y0l, x0h, y0h = origins
-        wx_l = _hat_weights((px - x0l) / sx, tw)
-        wy_l = _hat_weights((py - y0l) / sy, tw)
+        wx_l = weights((px - x0l) / sx, tw)
+        wy_l = weights((py - y0l) / sy, tw)
         lo = _cross_section(slab_lo, wx_l, wy_l)
-        wx_h = _hat_weights((px - x0h) / sx, tw)
-        wy_h = _hat_weights((py - y0h) / sy, tw)
+        wx_h = weights((px - x0h) / sx, tw)
+        wy_h = weights((py - y0h) / sy, tw)
         hi = _cross_section(slab_hi, wx_h, wy_h)
         tzc = jnp.clip(tz, 0.0, 1.0)
         return [l + tzc * (h_ - l) for l, h_ in zip(lo, hi)]
@@ -258,8 +296,14 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
         return (Tx * inv_Tz, Ty * inv_Tz,
                 g * gx, g * gy, g * gz)
 
+    substeps = 2 if algorithm == 3 else 1
+    ab4 = algorithm == 4
+
     def step(carry, slabs_pair):
-        x, y, z, Tx, Ty, Tz, active = carry
+        if ab4:
+            x, y, z, Tx, Ty, Tz, active, nstep, hist = carry
+        else:
+            x, y, z, Tx, Ty, Tz, active = carry
         slab_lo, slab_hi, z_plane, x0l, y0l, x0h, y0h = slabs_pair
         origins = (expand(x0l), expand(y0l), expand(x0h), expand(y0h))
         # rays march -z, landing exactly on each voxel plane; a ray steps
@@ -274,31 +318,45 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
             return deriv(slab_lo, slab_hi, origins, (px, py, tx, ty, tzc),
                          z_plane, z_at - z_plane)
 
+        def rk4_sub(st, h_sub, z0):
+            px, py, tx, ty, tzc = st
+            k1 = rhs(px, py, tx, ty, tzc, z0)
+            h2 = h_sub / 2.0
+            k2 = rhs(px + h2 * k1[0], py + h2 * k1[1], tx + h2 * k1[2],
+                     ty + h2 * k1[3], tzc + h2 * k1[4], z0 + h2)
+            k3 = rhs(px + h2 * k2[0], py + h2 * k2[1], tx + h2 * k2[2],
+                     ty + h2 * k2[3], tzc + h2 * k2[4], z0 + h2)
+            k4 = rhs(px + h_sub * k3[0], py + h_sub * k3[1],
+                     tx + h_sub * k3[2], ty + h_sub * k3[3],
+                     tzc + h_sub * k3[4], z0 + h_sub)
+            s6 = h_sub / 6.0
+            return tuple(v + s6 * (a + 2 * b + 2 * c + dd)
+                         for v, a, b, c, dd in zip(st, k1, k2, k3, k4))
+
+        st = (x, y, Tx, Ty, Tz)
         if algorithm == 1:
-            dxdz, dydz, dTx, dTy, dTz = rhs(x, y, Tx, Ty, Tz, z)
-            x_n = x + hstep * dxdz
-            y_n = y + hstep * dydz
-            Tx_n = Tx + hstep * dTx
-            Ty_n = Ty + hstep * dTy
-            Tz_n = Tz + hstep * dTz
-        else:
             k1 = rhs(x, y, Tx, Ty, Tz, z)
+            new = tuple(v + hstep * k for v, k in zip(st, k1))
+        elif substeps == 1 and not ab4:
+            new = rk4_sub(st, hstep, z)
+        elif ab4:
+            # RK4 bootstrap (first 3 committed steps of each ray), then
+            # AB4 over the stored derivative history (newest last)
+            rk = rk4_sub(st, hstep, z)
+            f_now = rhs(x, y, Tx, Ty, Tz, z)
+            adams = tuple(
+                v + hstep / 24.0 * (55.0 * fn - 59.0 * hist[2][i]
+                                    + 37.0 * hist[1][i] - 9.0 * hist[0][i])
+                for i, (v, fn) in enumerate(zip(st, f_now)))
+            boot = nstep < 3
+            new = tuple(jnp.where(boot, r, a) for r, a in zip(rk, adams))
+            hist_new = (hist[1], hist[2], f_now)
+        else:
             h2 = hstep / 2.0
-            k2 = rhs(x + h2 * k1[0], y + h2 * k1[1],
-                     Tx + h2 * k1[2], Ty + h2 * k1[3], Tz + h2 * k1[4],
-                     z + h2)
-            k3 = rhs(x + h2 * k2[0], y + h2 * k2[1],
-                     Tx + h2 * k2[2], Ty + h2 * k2[3], Tz + h2 * k2[4],
-                     z + h2)
-            k4 = rhs(x + hstep * k3[0], y + hstep * k3[1],
-                     Tx + hstep * k3[2], Ty + hstep * k3[3],
-                     Tz + hstep * k3[4], z + hstep)
-            s = hstep / 6.0
-            x_n = x + s * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
-            y_n = y + s * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-            Tx_n = Tx + s * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
-            Ty_n = Ty + s * (k1[3] + 2 * k2[3] + 2 * k3[3] + k4[3])
-            Tz_n = Tz + s * (k1[4] + 2 * k2[4] + 2 * k3[4] + k4[4])
+            mid = rk4_sub(st, h2, z)
+            new = rk4_sub(mid, h2, z + h2)
+
+        x_n, y_n, Tx_n, Ty_n, Tz_n = new
         z_n = jnp.full_like(z, 1.0) * z_plane
 
         sel = in_band
@@ -308,6 +366,13 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
         Tx = jnp.where(sel, Tx_n, Tx)
         Ty = jnp.where(sel, Ty_n, Ty)
         Tz = jnp.where(sel, Tz_n, Tz)
+        if ab4:
+            nstep = nstep + in_band.astype(jnp.int32)
+            hist = tuple(
+                tuple(jnp.where(in_band, fn, fo)
+                      for fn, fo in zip(h_new, h_old))
+                for h_new, h_old in zip(hist_new, hist))
+            return (x, y, z, Tx, Ty, Tz, active, nstep, hist), None
         return (x, y, z, Tx, Ty, Tz, active), None
 
     # scan from the top slab pair down: landing plane k goes d-2 .. 0 in
@@ -325,10 +390,16 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     x0_hi = jnp.flip(tubes.x0[1:], axis=0)
     y0_hi = jnp.flip(tubes.y0[1:], axis=0)
 
-    carry = (x, y, z, Tx, Ty, Tz, inside)
-    (x, y, z, Tx, Ty, Tz, _), _ = jax.lax.scan(
+    if ab4:
+        zero5 = tuple(jnp.zeros_like(x) for _ in range(5))
+        carry = (x, y, z, Tx, Ty, Tz, inside,
+                 jnp.zeros_like(x, dtype=jnp.int32), (zero5, zero5, zero5))
+    else:
+        carry = (x, y, z, Tx, Ty, Tz, inside)
+    carry, _ = jax.lax.scan(
         step, carry, (slab_lo, slab_hi, z_planes, x0_lo, y0_lo,
                       x0_hi, y0_hi))
+    x, y, z, Tx, Ty, Tz = carry[:6]
 
     # back to unit directions
     Tn = jnp.sqrt(Tx * Tx + Ty * Ty + Tz * Tz)
@@ -340,7 +411,7 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
 
 def march_chief_deltas(vol: DensityVolume, tubes: TubeBundle,
                        xs, ys, zs, dcx, dcy, dcz,
-                       algorithm: int = 2):
+                       algorithm: int = 2, interpolation_scheme: int = 1):
     """March one chief ray per particle; return its exit plane and the
     curvature deltas to impose on the particle's whole ray fan.
 
@@ -357,11 +428,62 @@ def march_chief_deltas(vol: DensityVolume, tubes: TubeBundle,
     continuation at the exit plane.
     """
     x1, y1, z1, dx1, dy1, dz1 = march_tubes(
-        vol, tubes, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm)
+        vol, tubes, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
+        interpolation_scheme=interpolation_scheme)
     t = (z1 - zs) / dcz
     dpos_x = x1 - (xs + dcx * t)
     dpos_y = y1 - (ys + dcy * t)
     return z1, dpos_x, dpos_y, dx1 - dcx, dy1 - dcy, dz1 - dcz
+
+
+def _shape_volume(w: int, h: int, d: int, min_bound, max_bound, data_min
+                  ) -> DensityVolume:
+    """A DensityVolume carrying geometry only (field is a shape stub:
+    march_tubes reads vol.sizes/bounds/data_min, never vol.field —
+    the tubes already hold the voxel data — so XLA DCEs the zeros)."""
+    return DensityVolume(
+        field=jnp.zeros((d, h, w, 4), jnp.float32),
+        min_bound=min_bound, max_bound=max_bound,
+        grid_spacing=jnp.zeros(3, jnp.float32),
+        data_min=data_min, step_size=jnp.float32(0.0),
+        max_step_size=jnp.float32(0.0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_chief_march(static, slabs, x0, y0, min_bound, max_bound,
+                        data_min, cx, cy, cz, dx, dy, dz):
+    """Pallas chief march with an XLA-recompute backward pass.
+
+    The fused kernel has no autodiff rule; gradients re-run the math
+    through the differentiable XLA tube march (march_tubes) in the
+    backward pass — one extra march per backward, same trade as
+    jax.checkpoint.  ``static`` = (w, h, d, algorithm).
+    """
+    w, h, d, algorithm = static
+    from photon_tpu.ops.march_pallas import march_chief_pallas
+    vol = _shape_volume(w, h, d, min_bound, max_bound, data_min)
+    return march_chief_pallas(vol, TubeBundle(slabs, x0, y0),
+                              cx, cy, cz, dx, dy, dz, algorithm=algorithm)
+
+
+def _pallas_chief_march_fwd(static, *args):
+    return _pallas_chief_march(static, *args), args
+
+
+def _pallas_chief_march_bwd(static, args, cts):
+    w, h, d, algorithm = static
+
+    def xla(slabs, x0, y0, min_bound, max_bound, data_min,
+            cx, cy, cz, dx, dy, dz):
+        vol = _shape_volume(w, h, d, min_bound, max_bound, data_min)
+        return march_tubes(vol, TubeBundle(slabs, x0, y0),
+                           cx, cy, cz, dx, dy, dz, algorithm=algorithm)
+
+    _, vjp = jax.vjp(xla, *args)
+    return vjp(cts)
+
+
+_pallas_chief_march.defvjp(_pallas_chief_march_fwd, _pallas_chief_march_bwd)
 
 
 def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
@@ -369,7 +491,8 @@ def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
                          algorithm: int = 2,
                          tube_width: int = TUBE_WIDTH,
                          particles_per_chunk: Optional[int] = 16384,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False,
+                         interpolation_scheme: int = 1):
     """Tube extraction + chief march over bounded particle chunks.
 
     The tubes for P particles occupy D * 4 * TW^2 * P floats (1.6 GB for
@@ -380,23 +503,36 @@ def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
     parallel_ray_tracing.cu:3506-3515).  Returns the same
     ``(z_exit, dpos_x, dpos_y, ddir_x, ddir_y, ddir_z)`` as
     :func:`march_chief_deltas`, each (P,).
+
+    ``interpolation_scheme=2`` prefilters the whole volume to B-spline
+    coefficients once (differentiable), then cuts tricubic-ready tubes;
+    pass ``tube_width >= 6``.  The Pallas kernel is trilinear-only.
     """
     p = xs.shape[0]
+    if interpolation_scheme == 2:
+        if use_pallas:
+            raise NotImplementedError("Pallas tube march is trilinear-only")
+        if tube_width < 6:
+            tube_width = 6
+        from photon_tpu.ops.march_dense import bspline_prefilter_jax
+        vol = vol._replace(field=bspline_prefilter_jax(vol.field))
 
     def one(args):
         ex, ey, sx_, sy_, cx_, cy_, cz_, dx_, dy_, dz_ = args
         tubes = extract_tubes(vol, ex, ey, tube_width=tube_width,
                               slope_x=sx_, slope_y=sy_)
         if use_pallas:
-            from photon_tpu.ops.march_pallas import march_chief_pallas
-            x1, y1, z1, dx1, dy1, dz1 = march_chief_pallas(
-                vol, tubes, cx_, cy_, cz_, dx_, dy_, dz_,
-                algorithm=algorithm)
+            w, h, d = (int(s) for s in vol.sizes)
+            x1, y1, z1, dx1, dy1, dz1 = _pallas_chief_march(
+                (w, h, d, algorithm), tubes.slabs, tubes.x0, tubes.y0,
+                vol.min_bound, vol.max_bound, jnp.float32(vol.data_min),
+                cx_, cy_, cz_, dx_, dy_, dz_)
             t = (z1 - cz_) / dz_
             return (z1, x1 - (cx_ + dx_ * t), y1 - (cy_ + dy_ * t),
                     dx1 - dx_, dy1 - dy_, dz1 - dz_)
         return march_chief_deltas(vol, tubes, cx_, cy_, cz_, dx_, dy_, dz_,
-                                  algorithm=algorithm)
+                                  algorithm=algorithm,
+                                  interpolation_scheme=interpolation_scheme)
 
     args = tuple(jnp.asarray(a) for a in
                  (entry_x, entry_y, slope_x, slope_y,
@@ -428,7 +564,7 @@ def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
 chief_deltas_chunked_jit = jax.jit(
     chief_deltas_chunked,
     static_argnames=("algorithm", "tube_width", "particles_per_chunk",
-                     "use_pallas"))
+                     "use_pallas", "interpolation_scheme"))
 
 
 def apply_chief_deltas(deltas, px, py, pz, dx, dy, dz):

@@ -53,25 +53,34 @@ def _lens_sample_pair(cfg: SimulationConfig, n_rays: int):
 
 
 def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
-                          scattering=None, vol=None) -> bool:
+                          vol=None) -> bool:
     """Whether the speed-of-light (P, R) pipeline covers this config.
 
-    Covered: the axis-aligned single-lens train ('apparent'/'thin-lens'/
-    'general' without dispersion or absorbance), camera rotation, Mie or
-    diffuse scattering, erf-diffraction or bilinear sensor deposits,
-    per-ray sensor position noise, and — with the dense matmul march
-    (slabs <= 128x128) — all four integrators x trilinear/tricubic.
-    Routed to the exact path: tilted/multi-element trains, gradient-index
-    noise, Abbe/Cauchy dispersion, nonzero absorbance, and big-volume
-    configs needing tricubic or RK45/AB4 (the scattering argument is
-    currently always coverable: the per-particle Mie collapse is valid
-    for every table).
+    The single source of truth for fast/exact routing (render_image_fast
+    itself only re-raises on a non-axis-aligned train).  Covered: the
+    axis-aligned single-lens train ('apparent'/'thin-lens'/'general'
+    without dispersion or absorbance), camera rotation, Mie or diffuse
+    scattering (the per-particle Mie collapse is valid for every table),
+    erf-diffraction or bilinear sensor deposits, per-ray sensor position
+    noise, and the full density-march menu — all four integrators x
+    trilinear/tricubic at any volume size (dense matmul march for slabs
+    <= 128x128, prefiltered voxel-tube march beyond).  Routed to the
+    exact path: tilted/multi-element trains, gradient-index noise,
+    Abbe/Cauchy dispersion, nonzero absorbance.
     """
     from photon_tpu.models.render_fast import _axis_aligned
-    from photon_tpu.ops.march_dense import dense_march_supported
 
     dg = cfg.density_gradients
     if not _axis_aligned(setup) or dg.add_ngrad_noise:
+        return False
+    if vol is not None and \
+            float(np.asarray(setup.inverse_rotation_matrix)[2, 2]) <= 0.0:
+        # camera rotated >= 90 deg: world-frame rays travel upward (+z)
+        # through the volume, which the fast z-scan march's top-down entry
+        # does not model (march_fast.march_tubes requires dcz < 0); the
+        # exact marcher is direction-agnostic (ops.march.aabb_entry).
+        # Exercised by the reference's own sample-images scene
+        # (y_camera_angle = 5*pi/6, tests/test_sample_scene.py).
         return False
     if setup.lens_model == "general":
         st = setup.elements
@@ -79,27 +88,43 @@ def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
         if np.isfinite(float(st.abbe_number[0])) \
                 or float(st.absorbance_rate[0]) != 0.0:
             return False
-    scheme = int(dg.interpolation_scheme)
-    alg = int(dg.ray_tracing_algorithm)
-    if vol is None:
-        return True        # no march stage: scheme/algorithm don't apply
-    if dense_march_supported(vol):
-        return scheme in (1, 2) and alg in (1, 2, 3, 4)
-    return scheme == 1 and alg in (1, 2)
+    return True
+
+
+def _ray_budget(cfg: SimulationConfig) -> int:
+    """The config's lightray_process_number for the active scene section.
+
+    The reference carries this "rays to simultaneously process" knob in
+    every scene section but its own front-end comments out the only read
+    (ref: perform_ray_tracing_03.py:2009) — the CUDA host bounds memory
+    purely by particle chunks.  Here it is honored as the in-flight ray
+    budget that sizes both chunkers.
+    """
+    section = {"bos": cfg.bos_pattern, "piv": cfg.particle_field,
+               "cal": cfg.calibration_grid}.get(cfg.simulation_type)
+    if section is None:
+        return 2_000_000
+    return int(section.lightray_process_number)
 
 
 def _render(cfg: SimulationConfig, setup: CameraSetup, source, r1, r2,
             march_fn=None, vol=None, scattering=None,
-            rays_per_chunk: int = 2_000_000, noise_seed=None):
+            rays_per_chunk: Optional[int] = None, noise_seed=None):
     """Dispatch to the fast SoA renderer when the config allows it."""
+    if rays_per_chunk is None:
+        rays_per_chunk = _ray_budget(cfg)
     if vol is not None or march_fn is None:
-        if can_use_fast_renderer(cfg, setup, scattering, vol=vol):
+        if can_use_fast_renderer(cfg, setup, vol=vol):
             from photon_tpu.models.render_fast import render_image_fast
+            R = int(source.lightray_number_per_particle)
+            P = source.num_particles
+            ppc = max(1, rays_per_chunk // max(R, 1))
             return render_image_fast(
                 cfg, setup, source, r1, r2, vol=vol,
                 algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
                 interpolation_scheme=int(
                     cfg.density_gradients.interpolation_scheme),
+                particles_per_chunk=ppc if ppc < P else None,
                 scattering=scattering, noise_seed=noise_seed)
     from photon_tpu.models.render import render_image
     return render_image(cfg, setup, source, r1, r2, march_fn=march_fn,
@@ -128,7 +153,7 @@ def _march_fn_for(cfg: SimulationConfig, enable: bool):
 
 def run_bos(cfg: SimulationConfig,
             rng: Optional[np.random.Generator] = None,
-            rays_per_chunk: int = 2_000_000,
+            rays_per_chunk: Optional[int] = None,
             verbose: bool = False) -> SimulationResult:
     """Render the BOS image pair: im1 (no gradients) + im2 (with gradients).
 
@@ -164,12 +189,14 @@ def run_bos(cfg: SimulationConfig,
         with timer.phase(f"render:{name}", num_rays=source.num_rays):
             if fast_ok:
                 raw = _render(cfg, setup, source, r1, r2, vol=use_vol,
+                              rays_per_chunk=rays_per_chunk,
                               noise_seed=cfg.seed + im_idx)
             else:
                 march_fn = _march_fn_for(cfg, gradients and vol is not None)
                 raw = render_image(cfg, setup, source, r1, r2,
                                    march_fn=march_fn,
-                                   rays_per_chunk=rays_per_chunk,
+                                   rays_per_chunk=rays_per_chunk
+                                   or _ray_budget(cfg),
                                    noise_seed=cfg.seed + im_idx)
             raw.block_until_ready()
         key, sub = jax.random.split(key)
@@ -226,7 +253,7 @@ def _save_lightrays(cfg: SimulationConfig, setup: CameraSetup, source,
 
 def run_piv(cfg: SimulationConfig,
             rng: Optional[np.random.Generator] = None,
-            rays_per_chunk: int = 2_000_000) -> SimulationResult:
+            rays_per_chunk: Optional[int] = None) -> SimulationResult:
     """Render the PIV frame sequence (ref: run_simulation_02.py:1773-1879)."""
     if rng is None:
         rng = np.random.default_rng(cfg.seed)
@@ -255,15 +282,17 @@ def run_piv(cfg: SimulationConfig,
     for frame_index in pf.frame_vector:
         source = piv_source(cfg, setup, frame_index,
                             diameter_index_distribution=diameter_idx, rng=rng)
-        if can_use_fast_renderer(cfg, setup, scattering, vol=vol):
+        if can_use_fast_renderer(cfg, setup, vol=vol):
             raw = _render(cfg, setup, source, r1, r2, vol=vol,
                           scattering=scattering,
+                          rays_per_chunk=rays_per_chunk,
                           noise_seed=cfg.seed + int(frame_index))
         else:
             march_fn = _march_fn_for(cfg, gradients)
             raw = render_image(cfg, setup, source, r1, r2,
                                march_fn=march_fn, scattering=scattering,
-                               rays_per_chunk=rays_per_chunk,
+                               rays_per_chunk=rays_per_chunk
+                               or _ray_budget(cfg),
                                noise_seed=cfg.seed + int(frame_index))
         key, sub = jax.random.split(key)
         name = f"particle_image_frame_{frame_index:04d}"
@@ -276,7 +305,7 @@ def run_piv(cfg: SimulationConfig,
 
 def run_cal(cfg: SimulationConfig,
             rng: Optional[np.random.Generator] = None,
-            rays_per_chunk: int = 2_000_000) -> SimulationResult:
+            rays_per_chunk: Optional[int] = None) -> SimulationResult:
     """Render one image per calibration plane (ref: run_simulation_02.py:1881-1974)."""
     if rng is None:
         rng = np.random.default_rng(cfg.seed)
@@ -289,10 +318,12 @@ def run_cal(cfg: SimulationConfig,
     for plane in range(int(cg.calibration_plane_number)):
         source = calibration_source(cfg, setup, plane, rng)
         if can_use_fast_renderer(cfg, setup):
-            raw = _render(cfg, setup, source, r1, r2)
+            raw = _render(cfg, setup, source, r1, r2,
+                          rays_per_chunk=rays_per_chunk)
         else:
             raw = render_image(cfg, setup, source, r1, r2,
-                               rays_per_chunk=rays_per_chunk)
+                               rays_per_chunk=rays_per_chunk
+                               or _ray_budget(cfg))
         key, sub = jax.random.split(key)
         name = f"calibration_image_plane_{plane + 1:04d}"
         images[name], raws[name] = postprocess(cfg, raw, key=sub)

@@ -1,0 +1,250 @@
+"""Reference sample-scene parity harness (the correctness gate).
+
+Renders the reference's own BOS sample scene — the committed
+`sample-images/parameters.mat` (512^2 sensor, thin-lens f/11 at 1 m,
+85x85 regular dot grid, y_camera_angle = 5*pi/6, Euler march through
+`sample-data/bos/sample-density.nrrd`) — end to end and checks it
+against the only reference-produced artifacts in the repo:
+
+* `positions.mat` — the dot-grid coordinates the reference saved next to
+  its rendered images (run_simulation_02.py:2101-2106): matched
+  bit-exactly.
+* the paraxial BOS oracle eps = (1/n0) * integral of grad(n) ds — the
+  reference's own acceptance criterion for rendered displacements
+  (createNRRD.py:108-116, light_ray_processing.py:532-638): the per-dot
+  displacement field extracted from our rendered rays must match the
+  oracle integral through the actual sample density volume.
+
+The reference repo commits no rendered images (sample-images/ holds only
+parameters.mat + positions.mat), so these two checks are the strongest
+"allclose vs reference" available in this environment; the glibc
+srand(10) lens-sample stream is reproduced exactly via
+utils.rng.GlibcRand (reference_lens_rng=True).
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from photon_tpu.config import SimulationConfig
+from photon_tpu.models.optics import camera_setup
+from photon_tpu.models.scenes import bos_source
+
+REF = "/root/reference/sample-data/bos"
+PARAMS_MAT = os.path.join(REF, "sample-images", "parameters.mat")
+POSITIONS_MAT = os.path.join(REF, "sample-images", "positions.mat")
+DENSITY_NRRD = os.path.join(REF, "sample-density.nrrd")
+SAMPLE_PARAMS_MAT = os.path.join(REF, "parameters", "sample-parameters.mat")
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference sample-data not present")
+
+
+def _load_cfg() -> SimulationConfig:
+    cfg = SimulationConfig.from_mat(PARAMS_MAT)
+    # the .mat carries a dead absolute path from the original author's
+    # cluster; point it at the committed sample volume
+    cfg.density_gradients.density_gradient_filename = DENSITY_NRRD
+    cfg.reference_lens_rng = True
+    return cfg
+
+
+def _subsample(src, step: int):
+    sub = slice(0, None, step)
+    return dataclasses.replace(
+        src, x=src.x[sub], y=src.y[sub], z=src.z[sub],
+        radiance=src.radiance[sub], diameter_index=src.diameter_index[sub])
+
+
+@needs_ref
+def test_from_mat_loads_reference_parameter_files():
+    cfg = _load_cfg()
+    assert cfg.simulation_type == "bos"
+    assert cfg.camera_design.pixel_pitch == 10.0
+    assert cfg.camera_design.x_pixel_number == 512
+    assert cfg.camera_design.y_camera_angle == pytest.approx(5 * np.pi / 6)
+    assert cfg.lens_design.lens_model == "thin-lens"
+    assert cfg.lens_design.aperture_f_number == 11.0
+    assert cfg.bos_pattern.dot_distribution == "regular"
+    assert cfg.density_gradients.ray_tracing_algorithm == 1
+
+    cfg2 = SimulationConfig.from_mat(SAMPLE_PARAMS_MAT)
+    assert cfg2.lens_design.lens_model == "general"
+    assert cfg2.bos_pattern.grid_point_number == 1000
+    assert cfg2.bos_pattern.lightray_number_per_particle == 500
+    assert cfg2.density_gradients.ray_tracing_algorithm == 2
+
+
+@needs_ref
+def test_dot_positions_match_positions_mat_exactly():
+    """Scene generation reproduces the reference's saved dot grid
+    bit-for-bit (regular distribution: int-truncated grid count,
+    endpoint-free linspace, xy-meshgrid C-flatten —
+    run_simulation_02.py:1437-1454)."""
+    import scipy.io as sio
+
+    cfg = _load_cfg()
+    setup = camera_setup(cfg)
+    _, dot_x, dot_y = bos_source(cfg, setup, np.random.default_rng(0))
+    ref = sio.loadmat(POSITIONS_MAT)
+    assert dot_x.size == ref["x"].size == 7225
+    np.testing.assert_array_equal(dot_x, ref["x"].ravel())
+    np.testing.assert_array_equal(dot_y, ref["y"].ravel())
+
+
+@needs_ref
+def test_sample_scene_routed_to_exact_path():
+    """The 150-degree camera sends world-frame rays upward through the
+    volume — outside the fast z-scan march's contract — so the gate must
+    route this scene to the direction-agnostic exact path."""
+    from photon_tpu.pipeline import can_use_fast_renderer
+    from photon_tpu.volume import load_density_volume
+
+    cfg = _load_cfg()
+    setup = camera_setup(cfg)
+    vol = load_density_volume(DENSITY_NRRD)
+    assert not can_use_fast_renderer(cfg, setup, vol=vol)
+    # without the volume (im1) the lens/sensor fast path is fine
+    assert can_use_fast_renderer(cfg, setup)
+
+
+def _oracle_displacement_px(cfg, setup, vol, src):
+    """Paraxial-oracle prediction of each dot's image displacement (px).
+
+    eps = (1/n0) * integral of grad(n)_perp ds along the straight chief
+    ray through the actual volume (trapezoid over the AABB span), mapped
+    to the sensor: apparent object shift = eps * Z_D (volume center ->
+    dot plane), image shift = M * shift / pixel_pitch, x mirrored by the
+    sensor's pixel mapping (parallel_ray_tracing.cu:1441-1447).
+    """
+    from photon_tpu.ops.interp import sample_trilinear, texture_lookup
+
+    inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float64)
+    rot = np.asarray(setup.rotation_matrix, np.float64)
+    shift = setup.z_offset + 750e3
+    xs = src.x.astype(np.float64)
+    ys = src.y.astype(np.float64)
+    zs = src.z.astype(np.float64)
+    dden = setup.image_distance - zs
+    tx, ty = xs / dden, ys / dden
+    cinv = 1.0 / np.sqrt(tx ** 2 + ty ** 2 + 1.0)
+    dir_cam = np.stack([tx * cinv, ty * cinv, -cinv], -1)
+    pos_cam = np.stack([xs, ys, zs - shift], -1)
+    dw = dir_cam @ inv_rot.T
+    pw = pos_cam @ inv_rot.T
+
+    mn = np.asarray(vol.min_bound, np.float64)
+    mx = np.asarray(vol.max_bound, np.float64)
+    t1 = (mn - pw) / dw
+    t2 = (mx - pw) / dw
+    tn = np.minimum(t1, t2).max(1)
+    tf = np.maximum(t1, t2).min(1)
+    hit = tf > tn
+
+    S = 256
+    P = xs.size
+    ts = tn[:, None] + (tf - tn)[:, None] * (np.arange(S)[None] + 0.5) / S
+    pts = pw[:, None, :] + dw[:, None, :] * ts[..., None]
+    field_flat = jnp.asarray(vol.field).reshape(-1, 4)
+    lk = texture_lookup(jnp.asarray(pts.reshape(-1, 3), jnp.float32),
+                        vol.min_bound, vol.max_bound, vol.sizes)
+    sm = np.asarray(sample_trilinear(field_flat, vol.sizes, lk)
+                    ).reshape(P, S, 4)
+    grad_int = sm[..., :3].sum(1) * ((tf - tn) / S)[:, None]
+    grad_int -= (grad_int * dw).sum(1, keepdims=True) * dw  # perp part
+    ddir_cam = grad_int @ rot.T                              # n0 ~ 1
+
+    volc_cam = ((mn + mx) / 2) @ rot.T
+    Z_D = zs - (volc_cam[2] + shift)
+    pred_px = (ddir_cam[:, :2] * Z_D[:, None] * setup.magnification
+               / cfg.camera_design.pixel_pitch)
+    pred_px[:, 0] *= -1.0  # sensor x mirror
+    return pred_px, hit
+
+
+@needs_ref
+def test_sample_scene_displacement_matches_paraxial_oracle():
+    """Per-dot BOS displacements rendered through the full pipeline
+    (ray gen -> Euler march through the sample NRRD -> thin lens ->
+    sensor) match the oracle integral dot by dot."""
+    from photon_tpu.analysis.light_rays import process_lightray_data
+    from photon_tpu.models.render import render_rays
+    from photon_tpu.ops.march import make_march_fn
+    from photon_tpu.pipeline import _lens_sample_pair
+    from photon_tpu.volume import load_density_volume
+
+    cfg = _load_cfg()
+    setup = camera_setup(cfg)
+    vol = load_density_volume(DENSITY_NRRD)
+    src, *_ = bos_source(cfg, setup, np.random.default_rng(0))
+    src = _subsample(src, 25)                 # 289 of 7225 dots for CI
+    R = src.lightray_number_per_particle
+    r1, r2 = _lens_sample_pair(cfg, R)
+
+    march_fn = make_march_fn(
+        vol, algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
+        interpolation_scheme=int(cfg.density_gradients.interpolation_scheme))
+    rays1 = render_rays(cfg, setup, src, r1, r2, march_fn=None)
+    rays2 = render_rays(cfg, setup, src, r1, r2, march_fn=march_fn)
+    disp = process_lightray_data(
+        np.asarray(rays1.pos), np.asarray(rays2.pos), R,
+        cfg.camera_design.pixel_pitch, cfg.camera_design.x_pixel_number,
+        cfg.camera_design.y_pixel_number)["displacement"]
+
+    pred, hit = _oracle_displacement_px(cfg, setup, vol, src)
+    ok = hit & np.isfinite(disp).all(1)
+    assert ok.sum() > 200
+    for axis in range(2):
+        a, b = disp[ok, axis], pred[ok, axis]
+        slope = (a * b).sum() / (b * b).sum()
+        corr = np.corrcoef(a, b)[0, 1]
+        rms = np.sqrt(np.mean((a - b) ** 2))
+        assert abs(slope - 1.0) < 0.03, (axis, slope)
+        assert corr > 0.995, (axis, corr)
+        assert rms < 0.02 * np.abs(a).max() + 0.005, (axis, rms)
+
+
+@needs_ref
+def test_sample_scene_renders_image_pair():
+    """run_bos on the sample config produces the im1/im2 pair: dots land
+    where the magnification map puts them, and the density gradients
+    displace im2 measurably."""
+    from photon_tpu.pipeline import run_bos
+
+    cfg = _load_cfg()
+    # subsample the grid via the dot count for CI cost: every 4th grid
+    # column/row by shrinking spacing is not faithful, so render the full
+    # 85x85 grid but with fewer rays per dot
+    cfg.bos_pattern.lightray_number_per_particle = 16
+    res = run_bos(cfg)
+    im1 = res.raw_images["bos_pattern_image_1"]
+    im2 = res.raw_images["bos_pattern_image_2"]
+    assert float(np.sum(im1)) > 0
+    assert float(np.sum(im2)) > 0
+
+    # the gradients must move energy: normalized L1 difference is well
+    # above float noise but the images stay globally similar
+    l1 = np.abs(im1 - im2).sum() / im1.sum()
+    assert 0.05 < l1 < 1.5, l1
+
+    # im1 dot centroids: predicted pixel position of the central dot
+    # (x mirrored, magnification-scaled)
+    nx = cfg.camera_design.x_pixel_number
+    ny = cfg.camera_design.y_pixel_number
+    pitch = cfg.camera_design.pixel_pitch
+    setup = res.setup
+    dot_x = res.dot_positions["x"]
+    dot_y = res.dot_positions["y"]
+    # pick the dot nearest the field center
+    i = np.argmin(dot_x ** 2 + dot_y ** 2)
+    M = setup.magnification
+    px = (nx - 1) - ((-dot_x[i] * M) - (-pitch * (nx - 1) / 2)) / pitch
+    py = ((-dot_y[i] * M) - (-pitch * (ny - 1) / 2)) / pitch
+    # centroid of a window around the predicted position
+    r0, c0 = int(round(py)), int(round(px))
+    win = im1[max(r0 - 4, 0):r0 + 5, max(c0 - 4, 0):c0 + 5]
+    assert win.sum() > 0.05 * im1.sum() / dot_x.size, \
+        "central dot not found at its predicted pixel"
