@@ -68,6 +68,56 @@ def build_scene(n_dots: int, rays_per_dot: int, sensor: int):
     return cfg, setup, source, np.asarray(r1), np.asarray(r2), vol
 
 
+def bench_piv_mie(reps: int) -> float:
+    """PIV+Mie flagship throughput (rays/s): the reference's sample PIV
+    scene — 5e4 particles x 1e4 rays/particle, Mie scattering with 128
+    angles and 27 log-normal diameters, 1024^2 sensor."""
+    from photon_tpu.config import default_config
+    from photon_tpu.models.optics import camera_setup
+    from photon_tpu.models.render_fast import render_image_fast
+    from photon_tpu.models.scenes import piv_source
+    from photon_tpu.ops.mie import create_mie_scattering_data
+    from photon_tpu.utils.rng import lens_samples
+
+    n_particles = int(os.environ.get("PHOTON_BENCH_PIV_PARTICLES", 50_000))
+    rays_per = int(os.environ.get("PHOTON_BENCH_PIV_RAYS", 10_000))
+
+    cfg = default_config("piv")
+    cfg.particle_field.particle_number = n_particles
+    cfg.particle_field.lightray_number_per_particle = rays_per
+    rng = np.random.default_rng(1105)
+    setup = camera_setup(cfg)
+    scattering = create_mie_scattering_data(cfg, rng)
+    source = piv_source(
+        cfg, setup, 1,
+        diameter_index_distribution=scattering[
+            "particle_diameter_index_distribution"], rng=rng)
+    r1, r2 = lens_samples(jax.random.key(1105), rays_per)
+    r1, r2 = np.asarray(r1), np.asarray(r2)
+
+    # bound the in-flight (P, R) fan: ~2e7 rays per chunk
+    ppc = max(1, 20_000_000 // rays_per)
+
+    def run():
+        img = render_image_fast(cfg, setup, source, r1, r2,
+                                scattering=scattering,
+                                particles_per_chunk=ppc)
+        img.block_until_ready()
+        return img
+
+    t0 = time.time()
+    img = run()
+    print(f"# piv compile+first: {time.time() - t0:.1f}s, image sum "
+          f"{float(img.sum()):.4g}, rays {source.num_rays}", file=sys.stderr)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    print(f"# piv times: {[f'{t:.3f}' for t in ts]}", file=sys.stderr)
+    return source.num_rays / min(ts)
+
+
 def main() -> int:
     from photon_tpu.models.render_fast import render_image_fast
 
@@ -136,6 +186,17 @@ def main() -> int:
     }
     if fwd_bwd_rays_per_s is not None:
         record["fwd_bwd_rays_per_s"] = fwd_bwd_rays_per_s
+
+    # second flagship: the reference's PIV sample workload — 5e4 Mie
+    # particles x 1e4 rays (create_sample_simulation_parameters.py:70-71),
+    # nang=128, 27 diameters, Gaussian sheet, no density gradients
+    if os.environ.get("PHOTON_BENCH_PIV", "1") == "1":
+        try:
+            record["piv_mie_forward_rays_per_s"] = bench_piv_mie(reps)
+        except Exception as e:
+            record["piv_mie_forward_rays_per_s"] = None
+            print(f"# piv bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # march-variant shootout (production dense matmul march vs the tube
     # fallback in XLA and Pallas form) — records why dense is the default

@@ -43,9 +43,31 @@ def load_ray_data(directory: str, prefix: str = "pos") -> np.ndarray:
     import glob
 
     files = sorted(glob.glob(os.path.join(directory, prefix + "_*.bin")))
+    if prefix in ("pos", "dir"):
+        # don't sweep up the intermediate_* dumps living alongside
+        files = [f for f in files
+                 if os.path.basename(f).startswith(prefix + "_")]
     parts = [np.fromfile(f, dtype=np.float32).reshape(-1, 3) for f in files]
     if not parts:
         raise FileNotFoundError(f"no {prefix}_*.bin in {directory}")
+    return np.concatenate(parts)
+
+
+def load_intermediate_ray_data(directory: str, num_positions_save: int,
+                               prefix: str = "intermediate_pos") -> np.ndarray:
+    """Load per-step trajectory dumps into (n_rays, num_positions_save, 3).
+
+    Inverse of the renderer's intermediate dump (the reference's layout
+    ``thread_id * num_intermediate_positions_save + loop_ctr``,
+    ref: parallel_ray_tracing.cu:3613-3670); untouched entries are NaN.
+    """
+    import glob
+
+    files = sorted(glob.glob(os.path.join(directory, prefix + "_*.bin")))
+    if not files:
+        raise FileNotFoundError(f"no {prefix}_*.bin in {directory}")
+    parts = [np.fromfile(f, dtype=np.float32)
+             .reshape(-1, num_positions_save, 3) for f in files]
     return np.concatenate(parts)
 
 

@@ -447,11 +447,14 @@ def _get_sharded_render(mesh, statics: dict):
                              nk, **statics)
         return jax.lax.psum(img, axis)
 
+    # check_vma=False: the Pallas dense-slab sampler's ShapeDtypeStruct
+    # outputs carry no varying-mesh-axes annotation, which the checker
+    # (jax >= 0.7) would reject inside shard_map
     fn = jax.jit(shard_map(
         run, mesh=mesh,
         in_specs=(repl, part, part, part, part, repl, repl, repl, repl,
                   repl),
-        out_specs=repl))
+        out_specs=repl, check_vma=False))
     _sharded_cache[key] = fn
     return fn
 
@@ -589,19 +592,14 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
+        from photon_tpu.parallel.shard import pad_to_multiple
+
         n_dev = mesh.devices.size
         axis = mesh.axis_names[0]
-        pad = (-P) % n_dev
-
-        def padp(a, fill=0.0):
-            if pad == 0:
-                return a
-            return np.concatenate([a, np.full((pad,) + a.shape[1:], fill,
-                                              a.dtype)])
-
+        padded, _ = pad_to_multiple((xs, ys, zs, rad), n_dev,
+                                    fills=(0.0, 0.0, 1.0, 0.0))
         ray_shard = NamedSharding(mesh, Pspec(axis))
-        sharded = [jax.device_put(a, ray_shard) for a in
-                   (padp(xs), padp(ys), padp(zs, 1.0), padp(rad))]
+        sharded = [jax.device_put(a, ray_shard) for a in padded]
         fn = _get_sharded_render(mesh, statics)
         return fn(vol, *sharded, r1, r2, rot, inv_rot,
                   noise_key if noise_key is not None else jax.random.key(0))

@@ -299,12 +299,49 @@ def _ab4_step(carry, geom: _Geom, sample):
     return (new_state, T_hist_next, D_hist_next, T_next)
 
 
+class _Recorder:
+    """Bounded per-step trajectory recording for the march loops.
+
+    Buffers are (S, n_rec, 3), written at the top of each loop iteration
+    for iterations < S; frozen rays record NaN (the reference's prefill
+    convention).  ``finalize`` returns the reference's ray-major layout
+    (n_rec, S, 3) matching the intermediate_pos/dir dump ordering
+    ``thread_id * num_save + loop_ctr``
+    (ref: trace_rays_through_density_gradients.h:787-789).
+    """
+
+    def __init__(self, steps: int, rays: int):
+        self.steps = steps
+        self.rays = rays
+
+    def init(self):
+        nan = jnp.full((self.steps, self.rays, 3), jnp.nan, jnp.float32)
+        return (nan, nan)
+
+    def record(self, rec, it, pos, direction, active):
+        bufp, bufd = rec
+        idx = jnp.minimum(it, self.steps - 1)
+        ok = it < self.steps
+        act = active[: self.rays, None]
+        p = jnp.where(act, pos[: self.rays], jnp.nan)
+        d = jnp.where(act, direction[: self.rays], jnp.nan)
+        bufp = bufp.at[idx].set(jnp.where(ok, p, bufp[idx]))
+        bufd = bufd.at[idx].set(jnp.where(ok, d, bufd[idx]))
+        return bufp, bufd
+
+    def finalize(self, rec):
+        bufp, bufd = rec
+        return (jnp.transpose(bufp, (1, 0, 2)),
+                jnp.transpose(bufd, (1, 0, 2)))
+
+
 # ---------------------------------------------------------------------------
 # RK45 (adaptive Fehlberg)
 # ---------------------------------------------------------------------------
 
 
-def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int):
+def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
+                recorder: Optional[_Recorder] = None):
     """Vectorized adaptive RK45 (ref: :304-718, with the refractive-index
     bug corrected — see module docstring).
 
@@ -337,7 +374,9 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int):
     del ck
 
     def body(carry):
-        pos, direction, h, refr, active, it = carry
+        pos, direction, h, refr, active, it, rec = carry
+        if recorder is not None:
+            rec = recorder.record(rec, it, pos, direction, active)
         R0 = pos
         T0 = refr[:, None] * direction
 
@@ -396,16 +435,18 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int):
                           jnp.where(reject, h * s_rej,
                                     jnp.where(retry, h_retry, h)))
         new_active = active & ~freeze_retry & ~exited
-        return (new_pos, new_dir, new_h, new_refr, new_active, it + 1)
+        return (new_pos, new_dir, new_h, new_refr, new_active, it + 1, rec)
 
     def cond(carry):
-        *_, active, it = carry
+        _, _, _, _, active, it, _ = carry
         return jnp.any(active) & (it < max_iters)
 
     init = (rays_pos, rays_dir, h0, refr0,
-            jnp.ones((N,), dtype=bool), jnp.int32(0))
-    pos, direction, *_ = jax.lax.while_loop(cond, body, init)
-    return pos, direction
+            jnp.ones((N,), dtype=bool), jnp.int32(0),
+            recorder.init() if recorder is not None else ())
+    pos, direction, _, _, _, _, rec = jax.lax.while_loop(cond, body, init)
+    return pos, direction, (recorder.finalize(rec)
+                            if recorder is not None else None)
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +460,9 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
                seed: int = 0, max_iters: Optional[int] = None,
                differentiable: bool = False,
                num_steps: Optional[int] = None,
-               field_flat=None) -> RayBundle:
+               field_flat=None,
+               record_steps: Optional[int] = None,
+               record_rays: int = 100):
     """March a ray bundle through the refractive-index volume.
 
     Rays outside the volume are first advanced to its surface
@@ -432,6 +475,16 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
     ``num_steps``-trip ``lax.scan`` with per-step rematerialization,
     enabling reverse-mode AD at O(sqrt-ish) memory; default num_steps is
     the volume diagonal over the step size plus margin.
+
+    ``record_steps``: record the first ``record_steps`` march positions
+    and directions of the first ``record_rays`` rays — the reference's
+    intermediate ray-data dump (each thread records the top of its first
+    num_intermediate_positions_save loop iterations,
+    ref: trace_rays_through_density_gradients.h:784-790).  Returns
+    ``(bundle, (inter_pos, inter_dir))`` with (n_rec, S, 3) arrays;
+    entries for frozen/finished rays are NaN (matching the reference's
+    NaN prefill, parallel_ray_tracing.cu:3541).  Not supported together
+    with ``differentiable=True``.
     """
     w, h, d = vol.sizes
     geom = _Geom(sizes=(w, h, d), min_bound=vol.min_bound,
@@ -461,11 +514,33 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
     if max_iters is None:
         max_iters = int(min(4.0 * diag / vol.step_size + 64, 100000))
 
+    recorder = None
+    if record_steps is not None:
+        if differentiable:
+            raise ValueError("intermediate recording is not supported on "
+                             "the differentiable scan path")
+        recorder = _Recorder(int(record_steps),
+                             min(int(record_rays), pos0.shape[0]))
+
     if algorithm == 3:
-        pos_f, dir_f = _rk45_march(pos0, dir0, geom, sample, max_iters)
+        # the adaptive marcher has no first-step boundary grace (each
+        # stage checks inside_box, which is exclusive at max_bound), so
+        # a ray snapped exactly onto the entry face would retry h/10
+        # until frozen.  The reference escapes this only through float
+        # rounding of its entry advance (IntersectWithVolume); we nudge
+        # advanced entries strictly inside by 1e-6 of the extent
+        # (sub-micron for metric scenes).
+        eps_b = 1e-6 * (vol.max_bound - vol.min_bound)
+        pos0 = jnp.where(
+            (outside & hit)[:, None],
+            jnp.clip(pos0, vol.min_bound + eps_b, vol.max_bound - eps_b),
+            pos0)
+        pos_f, dir_f, rec = _rk45_march(pos0, dir0, geom, sample, max_iters,
+                                        recorder=recorder)
         pos_f = jnp.where(skip[:, None], rays.pos, pos_f)
         dir_f = jnp.where(skip[:, None], rays.dir, dir_f)
-        return RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)
+        bundle = RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)
+        return (bundle, rec) if recorder is not None else bundle
 
     key = jax.random.key(seed)
     # derive every carry array from the (possibly sharded) ray inputs so
@@ -483,7 +558,8 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
     elif algorithm == 2:
         step_fn = partial(_rk4_step, geom=geom, sample=sample)
     elif algorithm == 4:
-        return _ab4_full(state0, geom, sample, rays, skip, max_iters)
+        return _ab4_full(state0, geom, sample, rays, skip, max_iters,
+                         recorder=recorder)
     else:
         raise ValueError(f"unknown ray_tracing_algorithm {algorithm}")
 
@@ -492,6 +568,20 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
             num_steps = int(min(2.0 * diag / vol.step_size + 16, 8192))
         ckpt_step = jax.checkpoint(lambda s, _: (step_fn(s), None))
         state_f, _ = jax.lax.scan(ckpt_step, state0, None, length=num_steps)
+        rec_f = None
+    elif recorder is not None:
+        def cond(carry):
+            state, it, _ = carry
+            return jnp.any(state.active) & (it < max_iters)
+
+        def body(carry):
+            state, it, rec = carry
+            rec = recorder.record(rec, it, state.pos, state.dir,
+                                  state.active)
+            return step_fn(state), it + 1, rec
+
+        state_f, _, rec_f = jax.lax.while_loop(
+            cond, body, (state0, jnp.int32(0), recorder.init()))
     else:
         def cond(carry):
             state, it = carry
@@ -502,17 +592,22 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
             return step_fn(state), it + 1
 
         state_f, _ = jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
+        rec_f = None
 
     pos_f = jnp.where(skip[:, None], rays.pos, state_f.pos)
     dir_f = jnp.where(skip[:, None], rays.dir, state_f.dir)
-    return RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)
+    bundle = RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)
+    if recorder is not None:
+        return bundle, recorder.finalize(rec_f)
+    return bundle
 
 
 def _ab4_full(state0: _MarchState, geom: _Geom, sample, rays, skip,
-              max_iters: int) -> RayBundle:
+              max_iters: int, recorder: Optional[_Recorder] = None):
     """RK4 bootstrap (3 steps) + AB4 main loop (ref: :1293-1453)."""
     # bootstrap with three RK4 steps, recording T and D histories
     state = state0
+    rec = recorder.init() if recorder is not None else ()
     T_hist = jnp.zeros((3,) + state.pos.shape, dtype=state.pos.dtype)
     D_hist = jnp.zeros((3,) + state.pos.shape, dtype=state.pos.dtype)
     for i in range(3):
@@ -522,6 +617,9 @@ def _ab4_full(state0: _MarchState, geom: _Geom, sample, rays, skip,
         n = 1.0 + val[:, 3]
         T_hist = T_hist.at[i].set(n[:, None] * state.dir)
         D_hist = D_hist.at[i].set(n[:, None] * val[:, :3])
+        if recorder is not None:
+            rec = recorder.record(rec, jnp.int32(i), state.pos, state.dir,
+                                  state.active)
         state = _rk4_step(state, geom, sample)
     lookup = texture_lookup(state.pos, geom.min_bound, geom.max_bound,
                             geom.sizes)
@@ -533,15 +631,21 @@ def _ab4_full(state0: _MarchState, geom: _Geom, sample, rays, skip,
         return jnp.any(state.active) & (it < max_iters)
 
     def body(carry):
-        inner, it = carry
-        return _ab4_step(inner, geom, sample), it + 1
+        inner, it, rec = carry
+        if recorder is not None:
+            rec = recorder.record(rec, it + 3, inner[0].pos, inner[0].dir,
+                                  inner[0].active)
+        return _ab4_step(inner, geom, sample), it + 1, rec
 
-    (state_f, *_), _ = jax.lax.while_loop(
-        cond, body, ((state, T_hist, D_hist, T_n), jnp.int32(0)))
+    (state_f, *_), _, rec = jax.lax.while_loop(
+        cond, body, ((state, T_hist, D_hist, T_n), jnp.int32(0), rec))
 
     pos_f = jnp.where(skip[:, None], rays.pos, state_f.pos)
     dir_f = jnp.where(skip[:, None], rays.dir, state_f.dir)
-    return RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)
+    bundle = RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)
+    if recorder is not None:
+        return bundle, recorder.finalize(rec)
+    return bundle
 
 
 def make_march_fn(vol: DensityVolume, *, algorithm: int = 2,

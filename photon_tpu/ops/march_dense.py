@@ -35,6 +35,7 @@ is a differentiable lax.scan IIR, see :func:`bspline_prefilter_jax`).
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import numpy as np
 
@@ -177,7 +178,7 @@ def _slab_sample(pair_T, wx, wy0, wy1, h: int):
 
 def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
                       algorithm: int = 2, interpolation_scheme: int = 1,
-                      field=None):
+                      field=None, use_pallas_sampler: Optional[bool] = None):
     """March (P,) chief rays through the volume; dense-weight sampling.
 
     Same contract as ops.march_fast.march_tubes with (P,) states: rays
@@ -188,8 +189,16 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
     gradients can flow in inverse problems.  For
     ``interpolation_scheme=2`` the B-spline prefilter runs here (in JAX,
     differentiable) — pass raw samples, not coefficients.
+
+    ``use_pallas_sampler``: evaluate each integrator stage's slab sample
+    with the fused VMEM kernel (ops.march_dense_pallas) instead of the
+    XLA matmul+reduce — same math, ~5x less HBM traffic (the XLA path
+    writes a (P, 2*H*4) intermediate per stage).  Defaults to on for TPU
+    backends.
     """
     w, h, d = (int(s) for s in vol.sizes)
+    if use_pallas_sampler is None:
+        use_pallas_sampler = jax.default_backend() == "tpu"
     if field is None:
         field = vol.field
     if interpolation_scheme == 2:
@@ -222,9 +231,18 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
 
     # scanned inputs: slab pairs transposed for the x contraction,
     # ordered top-down (landing planes k = d-2 .. 0)
-    field_T = jnp.transpose(field, (0, 2, 1, 3))       # (D, W, H, 4)
-    pairs = jnp.stack([field_T[:-1], field_T[1:]], axis=2)  # (S, W, 2, H, 4)
-    pairs = jnp.flip(pairs, axis=0).reshape(d - 1, w, 2 * h * 4)
+    if use_pallas_sampler:
+        from photon_tpu.ops.march_dense_pallas import (dense_slab_sample,
+                                                       pairs_transposed)
+        lo_T, hi_T = pairs_transposed(field)           # (S, W*4, H) each
+        pairs = (lo_T, hi_T)
+        # interpret mode off-TPU so CPU tests can drive the same kernel
+        sampler_static = (w, h, interpolation_scheme,
+                          jax.default_backend() != "tpu")
+    else:
+        field_T = jnp.transpose(field, (0, 2, 1, 3))   # (D, W, H, 4)
+        pairs = jnp.stack([field_T[:-1], field_T[1:]], axis=2)
+        pairs = jnp.flip(pairs, axis=0).reshape(d - 1, w, 2 * h * 4)
     ks = jnp.arange(d - 2, -1, -1, dtype=jnp.float32)
     z_planes = z_min + (ks - 0.5) * dz_slab
 
@@ -233,11 +251,17 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
 
     def rhs(pair_T, z_plane, px, py, tx, ty, tz, z_at):
         uz = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
-        wx = weights(0.5 + (px - min_x) / sx, w)
-        wy = weights(0.5 + (py - min_y) / sy, h)
-        gx, gy, gz, nm1 = _slab_sample(pair_T, wx,
-                                       wy * (1.0 - uz)[:, None],
-                                       wy * uz[:, None], h)
+        ux = 0.5 + (px - min_x) / sx
+        uy = 0.5 + (py - min_y) / sy
+        if use_pallas_sampler:
+            gx, gy, gz, nm1 = dense_slab_sample(
+                sampler_static, pair_T[0], pair_T[1], ux, uy, uz)
+        else:
+            wx = weights(ux, w)
+            wy = weights(uy, h)
+            gx, gy, gz, nm1 = _slab_sample(pair_T, wx,
+                                           wy * (1.0 - uz)[:, None],
+                                           wy * uz[:, None], h)
         inv_tz = 1.0 / tz
         g = (1.0 + nm1) * inv_tz
         return (tx * inv_tz, ty * inv_tz, g * gx, g * gy, g * gz)
@@ -325,7 +349,7 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
 
 def chief_deltas_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
                        algorithm: int = 2, interpolation_scheme: int = 1,
-                       field=None):
+                       field=None, use_pallas_sampler: Optional[bool] = None):
     """Dense-march twin of ops.march_fast.march_chief_deltas.
 
     Returns ``(z_exit, dpos_x, dpos_y, ddir_x, ddir_y, ddir_z)``, each
@@ -334,7 +358,8 @@ def chief_deltas_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
     """
     x1, y1, z1, dx1, dy1, dz1 = march_chief_dense(
         vol, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
-        interpolation_scheme=interpolation_scheme, field=field)
+        interpolation_scheme=interpolation_scheme, field=field,
+        use_pallas_sampler=use_pallas_sampler)
     t = (z1 - zs) / dcz
     return (z1, x1 - (xs + dcx * t), y1 - (ys + dcy * t),
             dx1 - dcx, dy1 - dcy, dz1 - dcz)

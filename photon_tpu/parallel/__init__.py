@@ -1,6 +1,6 @@
 from photon_tpu.parallel.shard import (  # noqa: F401
     make_mesh,
-    shard_rays,
-    sharded_render,
     multihost_init,
+    pad_to_multiple,
+    scaling_report,
 )

@@ -2,29 +2,36 @@
 
 The reference is single-GPU/single-process (SURVEY.md §2 parallelism
 table); its only concurrency is the CUDA grid and host-side KMAX particle
-chunking.  The TPU-native scaling model built here instead:
+chunking.  The TPU-native scaling model:
 
-* a 1-D (or N-D) ``jax.sharding.Mesh`` over all devices/hosts;
-* the particle batch (and hence the ray batch) sharded along the mesh's
-  ``rays`` axis — rays are embarrassingly parallel;
-* the density volume and optical parameters replicated per device (64^3 -
-  512^3 float4 volumes are far below HBM);
-* each shard scatter-adds into a local image, reduced with ``psum`` over
-  the mesh — the collective rides ICI;
-* gradients of (image -> loss) w.r.t. the replicated density field arrive
-  per-shard and are all-reduced by the same ``psum`` in the backward pass,
-  which XLA overlaps with the backward march.
+* a 1-D ``jax.sharding.Mesh`` over all devices/hosts (``make_mesh``);
+* the particle batch sharded along the mesh axis — rays are
+  embarrassingly parallel (``pad_to_multiple`` + NamedSharding, consumed
+  by ``models.render_fast.render_image_fast(mesh=...)``, the production
+  entry point);
+* the density volume and optical parameters replicated per device
+  (64^3 - 512^3 float4 volumes are far below HBM);
+* each shard scatter-adds into a local image, reduced with one ``psum``
+  over the mesh (ICI all-reduce) — see render_fast._get_sharded_render;
+* gradients w.r.t. the replicated density field are all-reduced by the
+  same ``psum`` transpose in the backward pass, which XLA overlaps with
+  the backward march.
+
+``python -m photon_tpu.parallel.shard`` runs the scaling harness: a
+weak-scaling sweep of the sharded renderer over a virtual CPU mesh,
+reporting per-step times and sharding-overhead efficiency (see
+``scaling_report``).
 """
 from __future__ import annotations
 
-from functools import partial
+import json
+import time
 from typing import Optional
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def multihost_init(coordinator_address: Optional[str] = None,
@@ -34,6 +41,8 @@ def multihost_init(coordinator_address: Optional[str] = None,
 
     The TPU-native replacement for "no communication backend" in the
     reference: on pod slices, call once per host before building meshes.
+    After it returns, ``jax.devices()`` spans the full pod and
+    ``make_mesh()`` builds the global mesh.
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -41,7 +50,7 @@ def multihost_init(coordinator_address: Optional[str] = None,
                                    process_id=process_id)
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rays"
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "particles"
               ) -> Mesh:
     """A 1-D mesh over (up to) all visible devices."""
     devices = jax.devices()
@@ -50,55 +59,137 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rays"
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_rays(mesh: Mesh, *arrays, axis_name: str = "rays"):
-    """Place per-particle arrays sharded along the mesh's ray axis.
+def pad_to_multiple(arrays, multiple: int, fills=None):
+    """Pad each array's leading dim to a multiple of the mesh size.
 
-    Each array's leading dimension must be divisible by the mesh size
-    (pad upstream with zero-radiance particles).
+    ``fills[i]`` is the pad value for array i (default 0 — for the
+    renderer's source arrays, zero radiance means padded particles
+    contribute nothing; pass 1.0 for z so divisors stay finite).
+    Returns (padded_arrays, original_length).
     """
-    sharding = NamedSharding(mesh, P(axis_name))
-    return tuple(jax.device_put(a, sharding) for a in arrays)
-
-
-def sharded_render(mesh: Mesh, render_chunk_fn, source_arrays, r1, r2,
-                   axis_name: str = "rays"):
-    """Render with particles sharded across the mesh, image psum-reduced.
-
-    ``render_chunk_fn((x, y, z, radiance, diam, r1, r2)) -> image`` is the
-    single-shard forward (e.g. photon_tpu.models.render.trace_chunk bound
-    to its static params).  Each device renders its particle shard into a
-    full-size local image; one ``psum`` over the mesh produces the final
-    image on every device.
-    """
-    from jax import shard_map
-
-    x, y, z, rad, diam = source_arrays
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis_name), P(axis_name), P(axis_name),
-                       P(axis_name), P(axis_name), P(), P()),
-             out_specs=P())
-    def run(x, y, z, rad, diam, r1, r2):
-        image = render_chunk_fn((x, y, z, rad, diam, r1, r2))
-        return jax.lax.psum(image, axis_name)
-
-    return jax.jit(run)(x, y, z, rad, diam, r1, r2)
-
-
-def pad_to_multiple(arrays, multiple: int, radiance_index: int = 3):
-    """Pad leading dims to a multiple of the mesh size.
-
-    Padding particles carry zero radiance, so they render to nothing —
-    the same trick the single-chip chunker uses.
-    """
-    n = arrays[0].shape[0]
+    n = int(arrays[0].shape[0])
     pad = (-n) % multiple
     if pad == 0:
-        return arrays, n
+        return tuple(np.asarray(a) for a in arrays), n
+    if fills is None:
+        fills = [0.0] * len(arrays)
     out = []
-    for i, a in enumerate(arrays):
-        fill = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
-        if i == 2:  # z coordinate: keep finite, away from the sensor
-            fill += 1.0
-        out.append(np.concatenate([np.asarray(a), fill]))
+    for a, fill in zip(arrays, fills):
+        a = np.asarray(a)
+        out.append(np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)]))
     return tuple(out), n
+
+
+# ---------------------------------------------------------------------------
+# Scaling harness (virtual CPU mesh or a real pod slice)
+# ---------------------------------------------------------------------------
+
+
+def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
+                   rays_per_dot: int = 64, sensor: int = 256,
+                   reps: int = 3) -> dict:
+    """Weak-scaling sweep of the sharded fast renderer.
+
+    For each N in ``device_counts``: N * dots_per_device dots sharded
+    over an N-device mesh, timed per render.  Reports:
+
+    * ``weak_scaling_efficiency``: T(1) / T(N) — the textbook number.
+      On a virtual CPU mesh this is bounded by the *physical core count*,
+      not the sharding design: all virtual devices share the host's
+      cores, so compute serializes beyond n_cores (the caveat field
+      records this).  On a real pod slice each device is a chip and this
+      is the ICI-limited number the >= 0.8 gate refers to.
+    * ``overhead_efficiency``: T_unsharded(N*P) / T_mesh_N(N*P) — fixes
+      the total work and compares the mesh run (shard_map + psum + halo
+      of the replicated volume) to the single-device run of the same
+      scene.  This isolates the cost the sharding machinery itself adds
+      and is meaningful even on the virtual mesh.
+    """
+    import os
+
+    from photon_tpu.config import default_config
+    from photon_tpu.models.optics import camera_setup
+    from photon_tpu.models.render_fast import render_image_fast
+    from photon_tpu.models.scenes import bos_source
+    from photon_tpu.utils.rng import lens_samples
+    from photon_tpu.volume import build_density_volume
+
+    # exercise the multi-host entry (single-process no-op)
+    multihost_init(num_processes=int(os.environ.get("PHOTON_NUM_PROCS", 1)))
+
+    def scene(n_dots):
+        cfg = default_config("bos")
+        cfg.camera_design.x_pixel_number = sensor
+        cfg.camera_design.y_pixel_number = sensor
+        cfg.bos_pattern.grid_point_number = n_dots
+        cfg.bos_pattern.particle_number_per_grid_point = 8
+        cfg.bos_pattern.lightray_number_per_particle = rays_per_dot
+        m = cfg.lens_design.focal_length / (
+            cfg.lens_design.object_distance - cfg.lens_design.focal_length)
+        half = 0.8 * sensor * cfg.camera_design.pixel_pitch / 2.0 / m
+        cfg.bos_pattern.X_Min, cfg.bos_pattern.X_Max = -half, half
+        cfg.bos_pattern.Y_Min, cfg.bos_pattern.Y_Max = -half, half
+        setup = camera_setup(cfg)
+        src, *_ = bos_source(cfg, setup, np.random.default_rng(1105))
+        r1, r2 = lens_samples(jax.random.key(1105), rays_per_dot)
+        n = 16
+        x = np.linspace(-1.5e5, 1.5e5, n)
+        z = np.linspace(setup.object_distance - 5e5,
+                        setup.object_distance - 1e2, n)
+        rho = 1.225 + 5.0 * (x[:, None, None] - x.min()) \
+            / (x.max() - x.min()) * np.ones((1, n, n))
+        vol = build_density_volume(
+            rho, [x[1] - x[0], x[1] - x[0], z[1] - z[0]], [x[0], x[0], z[0]])
+        return cfg, setup, src, np.asarray(r1), np.asarray(r2), vol
+
+    n_avail = len(jax.devices())
+    counts = [n for n in device_counts if n <= n_avail]
+    report = {"devices_available": n_avail,
+              "platform": jax.default_backend(),
+              "physical_cores": os.cpu_count(),
+              "device_counts": counts, "weak": {}, "overhead": {}}
+
+    def timed(fn):
+        fn().block_until_ready()              # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn().block_until_ready()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t1 = None
+    for n in counts:
+        args = scene(n * dots_per_device)
+        cfg, setup, src, r1, r2, vol = args
+        mesh = make_mesh(n)
+        t_mesh = timed(lambda: render_image_fast(cfg, setup, src, r1, r2,
+                                                 vol=vol, mesh=mesh))
+        t_flat = timed(lambda: render_image_fast(cfg, setup, src, r1, r2,
+                                                 vol=vol))
+        rays = src.num_rays
+        report["weak"][n] = {"time_s": t_mesh, "rays": rays,
+                             "rays_per_s": rays / t_mesh}
+        report["overhead"][n] = {"time_unsharded_s": t_flat,
+                                 "efficiency": t_flat / t_mesh}
+        if n == counts[0]:
+            t1 = t_mesh
+    if t1 is not None:
+        for n in counts:
+            report["weak"][n]["weak_scaling_efficiency"] = \
+                t1 / report["weak"][n]["time_s"]
+    report["caveat"] = (
+        "virtual CPU mesh: all devices share the host's physical cores, so "
+        "weak-scaling efficiency is compute-bound by cores/devices, not by "
+        "the sharding design; overhead_efficiency isolates the shard_map + "
+        "psum cost, which is what transfers to real ICI meshes. Real "
+        "multi-chip hardware is not available in this environment "
+        "(single TPU v5e chip)." if jax.default_backend() == "cpu"
+        else "real accelerator mesh")
+    return report
+
+
+if __name__ == "__main__":
+    rep = scaling_report()
+    print(json.dumps(rep, indent=2, default=float))

@@ -250,6 +250,54 @@ def _save_lightrays(cfg: SimulationConfig, setup: CameraSetup, source,
     np.asarray(rays.dir)[:n_save].astype(np.float32).tofile(
         os.path.join(dir_dir, "dir_0000.bin"))
 
+    if cfg.output_data.save_intermediate_ray_data and vol is not None:
+        _save_intermediate_rays(cfg, setup, source, r1, r2, vol,
+                                pos_dir, dir_dir, n_save)
+
+
+def _save_intermediate_rays(cfg: SimulationConfig, setup: CameraSetup,
+                            source, r1, r2, vol, pos_dir: str, dir_dir: str,
+                            n_save: int) -> None:
+    """Per-step trajectory dumps of the first rays through the marcher.
+
+    Writes intermediate_pos_0000.bin / intermediate_dir_0000.bin —
+    (num_lightrays_save, num_intermediate_positions_save, 3) float32 in
+    the reference's ray-major layout, recorded in the world/marcher frame
+    exactly where the reference's kernel records them
+    (ref: trace_rays_through_density_gradients.h:784-790, dumps at
+    parallel_ray_tracing.cu:3613-3670).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from photon_tpu.models.render import RenderParams, generate_rays
+    from photon_tpu.ops.lens import RayBundle
+    from photon_tpu.ops.march import march_rays
+
+    params = RenderParams.from_setup(cfg, setup, source)
+    rays = generate_rays(
+        jnp.asarray(source.x), jnp.asarray(source.y), jnp.asarray(source.z),
+        jnp.asarray(source.radiance, jnp.float32),
+        jnp.asarray(source.diameter_index),
+        jnp.asarray(r1, jnp.float32), jnp.asarray(r2, jnp.float32), params)
+    # camera -> marcher/world frame (ref: parallel_ray_tracing.cu:2036-2082)
+    shift = jnp.asarray([0.0, 0.0, params.z_offset + 750e3],
+                        dtype=rays.pos.dtype)
+    inv_rot = jnp.asarray(setup.inverse_rotation_matrix, rays.pos.dtype)
+    rays_w = RayBundle((rays.pos - shift) @ inv_rot.T, rays.dir @ inv_rot.T,
+                       rays.wavelength, rays.radiance)
+    n_steps = int(cfg.output_data.num_intermediate_positions_save)
+    _, (ipos, idir) = march_rays(
+        vol, rays_w,
+        algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
+        interpolation_scheme=int(cfg.density_gradients.interpolation_scheme),
+        record_steps=n_steps, record_rays=n_save)
+    np.asarray(ipos).astype(np.float32).tofile(
+        os.path.join(pos_dir, "intermediate_pos_0000.bin"))
+    np.asarray(idir).astype(np.float32).tofile(
+        os.path.join(dir_dir, "intermediate_dir_0000.bin"))
+
 
 def run_piv(cfg: SimulationConfig,
             rng: Optional[np.random.Generator] = None,

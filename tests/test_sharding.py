@@ -37,3 +37,39 @@ def test_sharded_fast_render_matches_single_device():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_shard_helpers():
+    """The canonical sharding API (parallel.shard) used by production:
+    multihost_init no-ops single-process, make_mesh spans devices,
+    pad_to_multiple pads with the requested fills."""
+    from photon_tpu.parallel.shard import (make_mesh, multihost_init,
+                                           pad_to_multiple)
+
+    multihost_init()                          # single-host: must no-op
+    multihost_init(num_processes=1)
+    mesh = make_mesh(2)
+    assert mesh.devices.size == 2
+    assert mesh.axis_names == ("particles",)
+
+    a = np.arange(5, dtype=np.float32)
+    (pa, pz), n = pad_to_multiple((a, a), 4, fills=(0.0, 1.0))
+    assert n == 5 and pa.shape == (8,)
+    assert pa[5:].sum() == 0.0 and (pz[5:] == 1.0).all()
+    (same,), n2 = pad_to_multiple((a,), 5)
+    assert n2 == 5 and same.shape == (5,)
+
+
+@needs_mesh
+def test_scaling_report_smoke():
+    """The weak-scaling harness runs on the virtual mesh and reports
+    sane sharding-overhead efficiencies (full sweep is run by
+    `python -m photon_tpu.parallel.shard`; recorded in SCALING.md)."""
+    from photon_tpu.parallel.shard import scaling_report
+
+    rep = scaling_report(device_counts=(1, 2), dots_per_device=8,
+                         rays_per_dot=8, sensor=64, reps=1)
+    assert rep["device_counts"] == [1, 2]
+    assert rep["weak"][2]["rays_per_s"] > 0
+    assert 0 < rep["overhead"][2]["efficiency"]
+    assert "caveat" in rep
