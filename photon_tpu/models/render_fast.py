@@ -188,7 +188,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
                    particles_per_chunk, march_particles_per_chunk,
                    chief_march: bool, per_ray_splat: bool,
                    use_pallas: bool, interpolation_scheme: int = 1,
-                   dense_march: bool = True):
+                   dense_march: bool = True, march_substeps=None):
     """arrays -> raw image; all keyword args are trace-time static."""
     P = xs.shape[0]
     R = r1.shape[0]
@@ -208,7 +208,8 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
         if chief_march and dense_march:
             deltas6 = chief_deltas_dense(
                 vol, *chief, algorithm=algorithm,
-                interpolation_scheme=interpolation_scheme)
+                interpolation_scheme=interpolation_scheme,
+                substeps=march_substeps)
         elif chief_march:
             deltas6 = chief_deltas_chunked(
                 vol, *entry, *chief, algorithm=algorithm,
@@ -374,7 +375,13 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
         return particle_splat(Xbar, Ybar, A, pred_col, pred_row,
                               nx=nx, ny=ny,
                               diameter=params.diffraction_diameter,
-                              patch=patch)
+                              patch=patch,
+                              # the apparent-image splat renders the full
+                              # circle, the sensor splat 0.75 of it
+                              # (ref: :1673 vs :1490)
+                              render_fraction=(
+                                  1.0 if params.lens_model == "apparent"
+                                  else 0.75))
 
     zero_p = jnp.zeros_like(xs)
     d6 = deltas6 if has_march else (zero_p,) * 6
@@ -414,7 +421,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
 _STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
                  "particles_per_chunk", "march_particles_per_chunk",
                  "chief_march", "per_ray_splat", "use_pallas",
-                 "interpolation_scheme", "dense_march")
+                 "interpolation_scheme", "dense_march", "march_substeps")
 
 _render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
 
@@ -474,6 +481,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       interpolation_scheme: int = 1,
                       noise_seed: Optional[int] = None,
                       dense_march: Optional[bool] = None,
+                      march_substeps: Optional[int] = None,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
@@ -580,7 +588,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                    chief_march=chief_march, per_ray_splat=per_ray_splat,
                    use_pallas=use_pallas,
                    interpolation_scheme=int(interpolation_scheme),
-                   dense_march=dense_march)
+                   dense_march=dense_march, march_substeps=march_substeps)
 
     if vol is not None:
         # array-ify the float leaves so the volume shards/jits uniformly

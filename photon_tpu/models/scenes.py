@@ -358,21 +358,30 @@ def _load_particle_frame(pf, frame_index: int, n: int):
 
 
 def bos_image_source(cfg: SimulationConfig, setup: CameraSetup,
-                     image: np.ndarray,
+                     image,
                      x_range: Optional[Tuple[float, float]] = None,
                      y_range: Optional[Tuple[float, float]] = None,
                      ) -> LightfieldSource:
     """Image-driven BOS target: every nonzero pixel emits a source point.
 
     (ref: run_simulation_02.generate_bos_image_lightfield_data:1554-1696 —
-    the reference reads a PNG via matplotlib; here any 2-D grayscale array
-    works, e.g. from utils.tiff_io.read_tiff16 or np.load.  Coordinate
-    conventions match: columns are mirrored into x, rows descend from
-    Y_Max, pixel intensity becomes radiance.)
+    the reference reads a grayscale PNG via matplotlib and keeps channel
+    0; here ``image`` may be a 2-D grayscale array or a path to a .png
+    (utils.png_io, matching the reference's input) or .tif file.
+    Coordinate conventions match: columns are mirrored into x, rows
+    descend from Y_Max, pixel intensity becomes radiance.)
     """
     bp = cfg.bos_pattern
     x_min, x_max = x_range or (bp.X_Min, bp.X_Max)
     y_min, y_max = y_range or (bp.Y_Min, bp.Y_Max)
+    if isinstance(image, (str, bytes)):
+        path = str(image)
+        if path.lower().endswith(".png"):
+            from photon_tpu.utils.png_io import read_png
+            image = read_png(path)
+        else:
+            from photon_tpu.utils.tiff_io import read_tiff16
+            image = read_tiff16(path)
     img = np.asarray(image)
     height, width = img.shape
     pixel_width = (x_max - x_min) / width

@@ -178,7 +178,8 @@ def _slab_sample(pair_T, wx, wy0, wy1, h: int):
 
 def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
                       algorithm: int = 2, interpolation_scheme: int = 1,
-                      field=None, use_pallas_sampler: Optional[bool] = None):
+                      field=None, use_pallas_sampler: Optional[bool] = None,
+                      substeps: Optional[int] = None):
     """March (P,) chief rays through the volume; dense-weight sampling.
 
     Same contract as ops.march_fast.march_tubes with (P,) states: rays
@@ -244,9 +245,21 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
         pairs = jnp.stack([field_T[:-1], field_T[1:]], axis=2)
         pairs = jnp.flip(pairs, axis=0).reshape(d - 1, w, 2 * h * 4)
     ks = jnp.arange(d - 2, -1, -1, dtype=jnp.float32)
-    z_planes = z_min + (ks - 0.5) * dz_slab
+    # landing planes are voxel-center z's, except the last: the march
+    # domain is the reference's inside_box range [z_min, z_max], so the
+    # final step lands on z_min (voxel-center plane k=0 sits half a
+    # voxel *below* the volume; marching down to it integrated an extra
+    # 0.5 dz of clamped border field — a measured +0.5/(d-2) systematic
+    # deflection bias vs the exact marcher before this clamp)
+    z_planes = jnp.maximum(z_min + (ks - 0.5) * dz_slab, z_min)
 
-    substeps = 2 if algorithm == 3 else 1
+    # sub-slab integration knob: error budget control for configs that
+    # demand a finer z discretization than one RK4 step per voxel plane
+    # (the RK45 stand-in defaults to 2 substeps, matching the adaptive
+    # reference's typical accepted step of ~half a voxel)
+    if substeps is None:
+        substeps = 2 if algorithm == 3 else 1
+    substeps = max(1, int(substeps))
     ab4 = algorithm == 4
 
     def rhs(pair_T, z_plane, px, py, tx, ty, tz, z_at):
@@ -309,9 +322,10 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
             new = tuple(jnp.where(boot, r, a) for r, a in zip(rk, adams))
             hist_new = (hist[1], hist[2], f_now)
         else:
-            h2 = hstep / 2.0
-            mid = rk4_sub(pair_T, z_plane, st, h2, z)
-            new = rk4_sub(pair_T, z_plane, mid, h2, z + h2)
+            hs = hstep / substeps
+            new = st
+            for si in range(substeps):
+                new = rk4_sub(pair_T, z_plane, new, hs, z + si * hs)
 
         x_n, y_n, Tx_n, Ty_n, Tz_n = new
         z_n = jnp.full_like(z, 1.0) * z_plane
@@ -349,7 +363,8 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
 
 def chief_deltas_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
                        algorithm: int = 2, interpolation_scheme: int = 1,
-                       field=None, use_pallas_sampler: Optional[bool] = None):
+                       field=None, use_pallas_sampler: Optional[bool] = None,
+                       substeps: Optional[int] = None):
     """Dense-march twin of ops.march_fast.march_chief_deltas.
 
     Returns ``(z_exit, dpos_x, dpos_y, ddir_x, ddir_y, ddir_z)``, each
@@ -359,7 +374,7 @@ def chief_deltas_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
     x1, y1, z1, dx1, dy1, dz1 = march_chief_dense(
         vol, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
         interpolation_scheme=interpolation_scheme, field=field,
-        use_pallas_sampler=use_pallas_sampler)
+        use_pallas_sampler=use_pallas_sampler, substeps=substeps)
     t = (z1 - zs) / dcz
     return (z1, x1 - (xs + dcx * t), y1 - (ys + dcy * t),
             dx1 - dcx, dy1 - dcy, dz1 - dcz)

@@ -381,7 +381,11 @@ def march_tubes(vol: DensityVolume, tubes: TubeBundle,
     # voxel past z_min with clamped boundary values — the same half-step
     # boundary fuzz the reference's arc-length marcher exhibits.
     ks = jnp.arange(d - 2, -1, -1, dtype=jnp.int32)
-    z_planes = z_min + (ks.astype(jnp.float32) - 0.5) * dz_slab
+    # final landing plane clamps to z_min: the march domain is the
+    # reference's [z_min, z_max], not the half-voxel-wider center grid
+    # (see march_dense for the measured bias this fixes)
+    z_planes = jnp.maximum(
+        z_min + (ks.astype(jnp.float32) - 0.5) * dz_slab, z_min)
     # reverse-ordered slab pairs as scanned inputs (flip, not gather)
     slab_lo = jnp.flip(tubes.slabs[:-1], axis=0)   # (S, 4, TW*TW, P)
     slab_hi = jnp.flip(tubes.slabs[1:], axis=0)

@@ -145,7 +145,9 @@ def _march_kernel(sx_ref, sy_ref, dz_ref, zp0_ref,
         x, y, z, tx, ty, tz = carry
         k = (d - 2) - s               # slab index this step
         slot = s % 2
-        z_plane = zp0 + (k.astype(jnp.float32) - 0.5) * dz_slab
+        # final plane clamps to z_min (= zp0); see march_fast/march_dense
+        z_plane = jnp.maximum(
+            zp0 + (k.astype(jnp.float32) - 0.5) * dz_slab, zp0)
 
         # prefetch the next pair while waiting on this one
         @pl.when(s + 1 < n_steps)

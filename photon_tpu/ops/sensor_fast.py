@@ -129,9 +129,11 @@ def bilinear_patch_splat(X, Y, amp, pred_col, pred_row, *, nx: int, ny: int,
     return _scatter_patches(patches, col0 - 1, row0 - 1, nx, ny)
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "patch", "diameter"))
+@partial(jax.jit, static_argnames=("nx", "ny", "patch", "diameter",
+                                   "render_fraction"))
 def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
-                   diameter: float, patch: int = 12):
+                   diameter: float, patch: int = 12,
+                   render_fraction: float = 0.75):
     """One erf spot per *particle* at its amplitude-weighted ray centroid.
 
     Valid whenever a particle's rays land within a small fraction of a
@@ -139,7 +141,11 @@ def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
     diffraction defaults; per-ray position noise must use
     :func:`patch_splat`).  Work drops from O(rays * K^2) to
     O(particles * K): the erf profile is evaluated once per particle per
-    patch row/column and outer-multiplied.
+    patch row/column and outer-multiplied; the reference's circular
+    render mask (pixels beyond render_fraction * diameter of the center
+    deposit nothing, parallel_ray_tracing.cu:1514-1519 — it truncates
+    ~2% of the spot flux, measured) applies per particle on the
+    materialized patch.
 
     Args:
       Xbar, Ybar: (P,) amplitude-weighted splat centers (pixel coords).
@@ -154,9 +160,14 @@ def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
     Ys = jnp.where(safe, Ybar, -1e6)
     A = jnp.where(safe, A, 0.0) * jnp.float32(math.pi / 32.0)
 
-    wx = jnp.stack([_erf_pair((col0 + j) - Xs, diameter)
-                    for j in range(K)], axis=-1)        # (P, K)
-    wy = jnp.stack([_erf_pair((row0 + i) - Ys, diameter) * A
-                    for i in range(K)], axis=-1)        # (P, K)
-    patches = wy[:, :, None] * wx[:, None, :]           # (P, K, K)
+    fc = (col0[:, None] + jnp.arange(K, dtype=jnp.int32)[None]) \
+        .astype(Xs.dtype) - Xs[:, None]                 # (P, K)
+    fr = (row0[:, None] + jnp.arange(K, dtype=jnp.int32)[None]) \
+        .astype(Ys.dtype) - Ys[:, None]
+    wx = _erf_pair(fc, diameter)                        # (P, K)
+    wy = _erf_pair(fr, diameter) * A[:, None]
+    patches = wy[:, :, None] * wx[:, None, :]           # (P, K, K) [row,col]
+    rf_d = jnp.float32(render_fraction * diameter)
+    in_circle = (fc[:, None, :] ** 2 + fr[:, :, None] ** 2) <= rf_d * rf_d
+    patches = jnp.where(in_circle, patches, 0.0)
     return _scatter_patches(patches, col0, row0, nx, ny)

@@ -35,3 +35,86 @@ def test_bos_image_source_geometry_and_render():
     assert out.sum() > 0
     from scipy import ndimage
     assert ndimage.label(out > out.max() * 0.1)[1] == 2
+
+
+# ---------------------------------------------------------------------------
+# PNG-driven source (round 3: the reference's actual input format)
+# ---------------------------------------------------------------------------
+
+
+def _write_png(path, arr, bitdepth=8, colortype=0, filters=None):
+    """Author a minimal PNG (test fixture for utils.png_io)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    nchan = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    px = arr.reshape(h, w * nchan)
+    raw = b""
+    prev = np.zeros(w * nchan * (bitdepth // 8), np.uint8)
+    for r in range(h):
+        if bitdepth == 16:
+            row16 = px[r].astype(">u2").tobytes()
+            row = np.frombuffer(row16, np.uint8).copy()
+        else:
+            row = px[r].astype(np.uint8).copy()
+        ft = 0 if filters is None else filters[r % len(filters)]
+        if ft == 0:
+            enc = row
+        elif ft == 2:    # Up
+            enc = (row.astype(np.int16) - prev).astype(np.uint8)
+        else:
+            raise NotImplementedError
+        raw += bytes([ft]) + enc.tobytes()
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def test_png_reader_roundtrip(tmp_path):
+    from photon_tpu.utils.png_io import read_png
+
+    rng = np.random.default_rng(3)
+    img8 = rng.integers(0, 255, (7, 11), dtype=np.uint8)
+    p = str(tmp_path / "g8.png")
+    _write_png(p, img8, filters=[0, 2])
+    np.testing.assert_allclose(read_png(p), img8 / 255.0, atol=1e-7)
+
+    img16 = rng.integers(0, 65535, (5, 6), dtype=np.uint16)
+    p16 = str(tmp_path / "g16.png")
+    _write_png(p16, img16, bitdepth=16)
+    np.testing.assert_allclose(read_png(p16), img16 / 65535.0, atol=1e-7)
+
+    rgba = rng.integers(0, 255, (4, 5, 4), dtype=np.uint8)
+    prgba = str(tmp_path / "rgba.png")
+    _write_png(prgba, rgba, colortype=6)
+    np.testing.assert_allclose(read_png(prgba), rgba[..., 0] / 255.0,
+                               atol=1e-7)
+
+
+def test_bos_image_source_from_png_path(tmp_path):
+    """A PNG dot-pattern path drives the BOS source end to end
+    (ref input format, run_simulation_02.py:1620-1628)."""
+    from photon_tpu.config import default_config
+    from photon_tpu.models.optics import camera_setup
+    from photon_tpu.models.scenes import bos_image_source
+
+    img = np.zeros((16, 16), np.uint8)
+    img[4, 5] = 200
+    img[10, 12] = 100
+    p = str(tmp_path / "dots.png")
+    _write_png(p, img)
+
+    cfg = default_config("bos")
+    setup = camera_setup(cfg)
+    src = bos_image_source(cfg, setup, p)
+    assert src.num_particles == 2
+    assert (src.radiance > 0).all()
