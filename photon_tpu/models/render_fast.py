@@ -516,7 +516,10 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
             raise ValueError("dense_march=True requires a density volume")
         dense_march = bool(dense_march) and vol is not None
         if dense_march and not dense_march_supported(vol):
-            raise NotImplementedError("dense march needs slabs <= 128x128")
+            raise NotImplementedError(
+                "dense march needs slabs <= 128x128 (256x256 with the "
+                "Pallas sampler on TPU); omit dense_march to use the "
+                "tube fallback")
     if use_pallas is None:
         # tube fallback: the fused Pallas march slightly beats the XLA
         # scan on TPU (see PARITY.md shootout); the kernel lowers only on

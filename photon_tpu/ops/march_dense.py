@@ -49,14 +49,23 @@ from photon_tpu.volume import DensityVolume
 # bf16's 8 mantissa bits for micro-radian deflection accuracy
 _PRECISION = jax.lax.Precision.HIGHEST
 
-# dense weights are built over the full slab axes, so the per-stage
-# matmul is (P, W) @ (W, 2*H*4): worthwhile up to ~128^2 slabs
+# dense weights are built over the full slab axes.  The XLA sampler
+# materializes a (P, 2*H*4) intermediate per stage, worthwhile up to
+# ~128^2 slabs; the fused Pallas sampler keeps the slab pair + weights
+# in VMEM (a 256^2 slab pair is 2 MB) and stays ahead of the tube
+# fallback up to ~256^2, beyond which the O(W*H) per-ray contraction
+# loses to the O(TW^2) tube march.
 DENSE_MAX_SLAB = 128 * 128
+DENSE_MAX_SLAB_PALLAS = 256 * 256
 
 
-def dense_march_supported(vol: DensityVolume) -> bool:
+def dense_march_supported(vol: DensityVolume,
+                          use_pallas_sampler: Optional[bool] = None) -> bool:
+    if use_pallas_sampler is None:
+        use_pallas_sampler = jax.default_backend() == "tpu"
+    cap = DENSE_MAX_SLAB_PALLAS if use_pallas_sampler else DENSE_MAX_SLAB
     w, h, _ = vol.sizes
-    return int(w) * int(h) <= DENSE_MAX_SLAB
+    return int(w) * int(h) <= cap
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +209,14 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
     w, h, d = (int(s) for s in vol.sizes)
     if use_pallas_sampler is None:
         use_pallas_sampler = jax.default_backend() == "tpu"
+    if w * h > (DENSE_MAX_SLAB_PALLAS if use_pallas_sampler
+                else DENSE_MAX_SLAB):
+        raise ValueError(
+            f"slab {w}x{h} exceeds the dense-march limit "
+            "(the XLA sampler materializes (P, 2*H*4) per stage; the "
+            "Pallas sampler holds the slab pair in VMEM) — route large "
+            "volumes through the tube march (render_image_fast does "
+            "this automatically)")
     if field is None:
         field = vol.field
     if interpolation_scheme == 2:

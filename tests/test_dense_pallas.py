@@ -126,3 +126,42 @@ def test_pallas_march_gradient_flows():
     assert np.isfinite(g_out).all()
     scale = max(np.abs(g_ref).max(), 1e-30)
     np.testing.assert_allclose(g_out, g_ref, atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_pallas_sampler_extends_dense_to_large_slabs():
+    """Slabs beyond the XLA dense limit (128^2) run through the Pallas
+    sampler (VMEM-resident slab pair) and agree with the tube march."""
+    from tests.test_march_tube_fullmenu import big_volume, _entry_args
+    from photon_tpu.ops.march_dense import (DENSE_MAX_SLAB,
+                                            dense_march_supported)
+    from photon_tpu.ops.march_fast import chief_deltas_chunked
+
+    cfg = bos_case("general")
+    setup = camera_setup(cfg)
+    vol = big_volume(setup, n_xy=144, n_z=10)
+    w, h, _ = vol.sizes
+    assert w * h > DENSE_MAX_SLAB
+    assert not dense_march_supported(vol, use_pallas_sampler=False)
+    assert dense_march_supported(vol, use_pallas_sampler=True)
+
+    P = 5
+    xs = np.linspace(-4e4, 4e4, P).astype(np.float32)
+    pos = np.stack([xs, np.zeros(P), np.full(P, -5e4)], -1).astype(np.float32)
+    dirs = np.tile(np.asarray([0.0, 0.0, -1.0], np.float32), (P, 1))
+    args = (jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+            jnp.asarray(pos[:, 2]), jnp.asarray(dirs[:, 0]),
+            jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]))
+
+    dense = chief_deltas_dense(vol, *args, algorithm=2,
+                               use_pallas_sampler=True)
+    tube = chief_deltas_chunked(vol, *_entry_args(vol, pos, dirs), *args,
+                                algorithm=2, particles_per_chunk=None)
+    for a, b in zip(tube, dense):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale)
+
+    # the XLA sampler refuses (memory hazard), with a clear error
+    with pytest.raises(ValueError):
+        chief_deltas_dense(vol, *args, algorithm=2,
+                           use_pallas_sampler=False)
