@@ -248,3 +248,34 @@ def test_sample_scene_renders_image_pair():
     win = im1[max(r0 - 4, 0):r0 + 5, max(c0 - 4, 0):c0 + 5]
     assert win.sum() > 0.05 * im1.sum() / dot_x.size, \
         "central dot not found at its predicted pixel"
+
+
+@needs_ref
+def test_piv_sample_config_renders():
+    """The PIV sample config (5e4 Mie particles x 1e4 rays,
+    create_sample_simulation_parameters.py:70-71) loads via from_mat and
+    renders through the full pipeline at a CI-scale particle/ray count
+    (the full-scale throughput is bench.py's piv_mie metric)."""
+    from photon_tpu.pipeline import run_piv
+
+    cfg = SimulationConfig.from_mat(
+        os.path.join("/root/reference/sample-data/piv/parameters",
+                     "sample-parameters.mat"))
+    assert cfg.simulation_type == "piv"
+    pf = cfg.particle_field
+    assert (pf.particle_number, pf.lightray_number_per_particle) \
+        == (50_000, 10_000)
+    assert pf.perform_mie_scattering
+    assert pf.mie_scattering_angle_number == 128
+    assert pf.particle_diameter_number == 27
+
+    # CI scale: keep the Mie table and sensor exact, shrink the ray
+    # budget (the sample's Gaussian sheet spans ~4% of the particle Z
+    # extent, so enough particles are needed for lit ones to exist)
+    cfg.particle_field.particle_number = 500
+    cfg.particle_field.lightray_number_per_particle = 16
+    cfg.particle_field.frame_vector = (1,)
+    res = run_piv(cfg)
+    img = res.raw_images["particle_image_frame_0001"]
+    assert np.isfinite(img).all()
+    assert float(img.sum()) > 0
