@@ -470,7 +470,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       source: LightfieldSource, r1, r2,
                       vol: Optional[DensityVolume] = None,
                       algorithm: int = 2,
-                      patch: int = 12,
+                      patch: Optional[int] = None,
                       particles_per_chunk: Optional[int] = None,
                       march_particles_per_chunk: Optional[int] = 16384,
                       chief_march: bool = True,
@@ -531,6 +531,23 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       and int(interpolation_scheme) == 1
                       and int(algorithm) in (1, 2))
     per_ray_splat = per_ray_splat or params.add_pos_noise
+    if patch is None:
+        if params.implement_diffraction and not per_ray_splat:
+            # one erf spot per particle at its ray centroid: the circular
+            # render mask (radius rf * D px, ref parallel_ray_tracing.cu
+            # :1514-1519) zeroes everything farther out, and the patch
+            # anchor rounds the centroid to <= 0.5 px, so a side of
+            # 2 * rf * D + 3 px provably contains every nonzero pixel —
+            # the scatter-add is the non-march cost of the forward, and
+            # it scales with K^2 (12 -> 8 at the default D = 3 px)
+            rf = 1.0 if params.lens_model == "apparent" else 0.75
+            patch = max(6, math.ceil(2.0 * rf * params.diffraction_diameter
+                                     + 3.0))
+        else:
+            # per-ray deposits (bilinear or noise-displaced erf spots):
+            # ray spread around the particle anchor is scene-dependent
+            # (defocus, position noise), keep the conservative default
+            patch = 12
     noise_key = None
     if params.add_pos_noise:
         noise_key = jax.random.key(cfg.seed if noise_seed is None

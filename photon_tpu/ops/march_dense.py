@@ -217,6 +217,20 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
             "Pallas sampler holds the slab pair in VMEM) — route large "
             "volumes through the tube march (render_image_fast does "
             "this automatically)")
+    if use_pallas_sampler and algorithm in (1, 2, 3) \
+            and w * h <= DENSE_MAX_SLAB:
+        # (slabs above 128x128 keep the per-stage sampler: the fused
+        # kernel's packed pair + bf16-split copies need ~4x the pair's
+        # VMEM, proven only up to 128x128 on v5e)
+        # whole-march fused kernel: one pallas_call for all slabs x
+        # stages, ray state in VMEM scratch, packed-K (2H) contraction
+        # (see ops.march_dense_fused; AB4 keeps the per-stage path)
+        from photon_tpu.ops.march_dense_fused import march_chief_fused
+        return march_chief_fused(
+            vol, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
+            interpolation_scheme=interpolation_scheme, field=field,
+            substeps=substeps,
+            interpret=jax.default_backend() != "tpu")
     if field is None:
         field = vol.field
     if interpolation_scheme == 2:

@@ -1,0 +1,84 @@
+"""Fused whole-march kernel vs the per-stage dense march (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from photon_tpu.ops.march_dense import march_chief_dense
+from photon_tpu.ops.march_dense_fused import march_chief_fused
+from photon_tpu.volume import build_density_volume
+
+
+def _vol(n=12, lo=-6e4, hi=6e4, z0=4.0e5, z1=9.0e5):
+    rng = np.random.default_rng(3)
+    x = np.linspace(lo, hi, n)
+    z = np.linspace(z0, z1, n)
+    rho = 1.2 + 0.8 * rng.random((n, n, n))
+    return build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], z[1] - z[0]], [lo, lo, z0])
+
+
+def _chiefs(p=37, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(-4e4, 4e4, p).astype(np.float32)
+    ys = rng.uniform(-4e4, 4e4, p).astype(np.float32)
+    zs = np.full(p, 1.0e6, np.float32)
+    tx = rng.uniform(-0.08, 0.08, p)
+    ty = rng.uniform(-0.08, 0.08, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs),
+            jnp.asarray((tx * inv).astype(np.float32)),
+            jnp.asarray((ty * inv).astype(np.float32)),
+            jnp.asarray((-inv).astype(np.float32)))
+
+
+@pytest.mark.parametrize("algorithm", [1, 2, 3])
+@pytest.mark.parametrize("scheme", [1, 2])
+def test_fused_matches_per_stage(algorithm, scheme):
+    vol = _vol()
+    chiefs = _chiefs()
+    ref = march_chief_dense(vol, *chiefs, algorithm=algorithm,
+                            interpolation_scheme=scheme,
+                            use_pallas_sampler=False)
+    got = march_chief_fused(vol, *chiefs, algorithm=algorithm,
+                            interpolation_scheme=scheme, interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_miss_rays_pass_through():
+    vol = _vol()
+    xs, ys, zs, dx, dy, dz = _chiefs(8)
+    dz_up = -dz  # upward rays never enter (dcz > 0)
+    got = march_chief_fused(vol, xs, ys, zs, dx, dy, dz_up, interpret=True)
+    ref = march_chief_dense(vol, xs, ys, zs, dx, dy, dz_up,
+                            use_pallas_sampler=False)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-6)
+    # positions and directions are untouched by the (missed) volume
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(xs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[3]), np.asarray(dx), rtol=0)
+
+
+def test_fused_gradients_match_per_stage():
+    vol = _vol(n=8)
+    chiefs = _chiefs(11)
+
+    def loss_fused(field):
+        out = march_chief_fused(vol, *chiefs, algorithm=2, field=field,
+                                interpret=True)
+        return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
+
+    def loss_ref(field):
+        out = march_chief_dense(vol, *chiefs, algorithm=2, field=field,
+                                use_pallas_sampler=False)
+        return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
+
+    g_fused = jax.grad(loss_fused)(vol.field)
+    g_ref = jax.grad(loss_ref)(vol.field)
+    gf, gr = np.asarray(g_fused), np.asarray(g_ref)
+    denom = np.abs(gr).max()
+    assert denom > 0
+    np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)

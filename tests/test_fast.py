@@ -195,3 +195,14 @@ def test_fast_rotated_camera_matches_reference():
     l1 = np.abs(img_ref - img_fast).sum() / img_ref.sum()
     # round 3 (was 12%): z-domain clamp + circular mask
     assert l1 < 0.01, l1
+
+
+def test_auto_patch_matches_wide_patch():
+    """The auto-sized splat patch (from the circular render mask bound)
+    produces the identical image to a conservatively wide patch."""
+    cfg, setup, src, *_, r1, r2 = _scene("general")
+    img_auto = np.asarray(render_image_fast(cfg, setup, src, r1, r2))
+    img_wide = np.asarray(render_image_fast(cfg, setup, src, r1, r2,
+                                            patch=14))
+    assert img_auto.sum() > 0
+    np.testing.assert_allclose(img_auto, img_wide, rtol=0, atol=1e-6)
