@@ -198,13 +198,11 @@ def main() -> int:
             print(f"# piv bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    # march-variant shootout (production dense matmul march vs the tube
-    # fallback in XLA and Pallas form) — records why dense is the default
+    # march-variant shootout (production dense matmul march vs the
+    # large-volume tube fallback) — records why dense is the default
     if os.environ.get("PHOTON_BENCH_VARIANTS", "1") == "1":
         for key, kw in (
-                ("tube_xla_rays_per_s", dict(dense_march=False)),
-                ("tube_pallas_rays_per_s", dict(dense_march=False,
-                                                use_pallas=True))):
+                ("tube_xla_rays_per_s", dict(dense_march=False)),):
             try:
                 def run_v():
                     img = render_image_fast(cfg, setup, source, r1, r2,

@@ -187,7 +187,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
                    algorithm: int, patch: int,
                    particles_per_chunk, march_particles_per_chunk,
                    chief_march: bool, per_ray_splat: bool,
-                   use_pallas: bool, interpolation_scheme: int = 1,
+                   interpolation_scheme: int = 1,
                    dense_march: bool = True, march_substeps=None):
     """arrays -> raw image; all keyword args are trace-time static."""
     P = xs.shape[0]
@@ -214,7 +214,6 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
             deltas6 = chief_deltas_chunked(
                 vol, *entry, *chief, algorithm=algorithm,
                 particles_per_chunk=march_particles_per_chunk,
-                use_pallas=use_pallas,
                 interpolation_scheme=interpolation_scheme)
         else:
             # validation path (march every fan ray): needs the full tubes
@@ -420,7 +419,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
 
 _STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
                  "particles_per_chunk", "march_particles_per_chunk",
-                 "chief_march", "per_ray_splat", "use_pallas",
+                 "chief_march", "per_ray_splat",
                  "interpolation_scheme", "dense_march", "march_substeps")
 
 _render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
@@ -477,7 +476,6 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       per_ray_splat: bool = False,
                       scattering=None,
                       mesh=None,
-                      use_pallas: Optional[bool] = None,
                       interpolation_scheme: int = 1,
                       noise_seed: Optional[int] = None,
                       dense_march: Optional[bool] = None,
@@ -520,16 +518,6 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                 "dense march needs slabs <= 128x128 (256x256 with the "
                 "Pallas sampler on TPU); omit dense_march to use the "
                 "tube fallback")
-    if use_pallas is None:
-        # tube fallback: the fused Pallas march slightly beats the XLA
-        # scan on TPU (see PARITY.md shootout); the kernel lowers only on
-        # real TPU backends (pltpu SMEM/DMA semaphores), is
-        # trilinear/Euler/RK4-only, and interpret mode on CPU is slow —
-        # so auto-enable strictly on 'tpu' for the configs it covers
-        use_pallas = (not dense_march and vol is not None
-                      and jax.default_backend() == "tpu"
-                      and int(interpolation_scheme) == 1
-                      and int(algorithm) in (1, 2))
     per_ray_splat = per_ray_splat or params.add_pos_noise
     if patch is None:
         if params.implement_diffraction and not per_ray_splat:
@@ -606,7 +594,6 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                    particles_per_chunk=particles_per_chunk,
                    march_particles_per_chunk=march_particles_per_chunk,
                    chief_march=chief_march, per_ray_splat=per_ray_splat,
-                   use_pallas=use_pallas,
                    interpolation_scheme=int(interpolation_scheme),
                    dense_march=dense_march, march_substeps=march_substeps)
 

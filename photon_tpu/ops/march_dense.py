@@ -217,11 +217,14 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
             "Pallas sampler holds the slab pair in VMEM) — route large "
             "volumes through the tube march (render_image_fast does "
             "this automatically)")
+    import os
     if use_pallas_sampler and algorithm in (1, 2, 3) \
-            and w * h <= DENSE_MAX_SLAB:
+            and w * h <= DENSE_MAX_SLAB \
+            and os.environ.get("PHOTON_FUSED_MARCH", "1") == "1":
         # (slabs above 128x128 keep the per-stage sampler: the fused
         # kernel's packed pair + bf16-split copies need ~4x the pair's
-        # VMEM, proven only up to 128x128 on v5e)
+        # VMEM, proven only up to 128x128 on v5e.  PHOTON_FUSED_MARCH=0
+        # falls back to the per-stage sampler.)
         # whole-march fused kernel: one pallas_call for all slabs x
         # stages, ray state in VMEM scratch, packed-K (2H) contraction
         # (see ops.march_dense_fused; AB4 keeps the per-stage path)

@@ -440,62 +440,11 @@ def march_chief_deltas(vol: DensityVolume, tubes: TubeBundle,
     return z1, dpos_x, dpos_y, dx1 - dcx, dy1 - dcy, dz1 - dcz
 
 
-def _shape_volume(w: int, h: int, d: int, min_bound, max_bound, data_min
-                  ) -> DensityVolume:
-    """A DensityVolume carrying geometry only (field is a shape stub:
-    march_tubes reads vol.sizes/bounds/data_min, never vol.field —
-    the tubes already hold the voxel data — so XLA DCEs the zeros)."""
-    return DensityVolume(
-        field=jnp.zeros((d, h, w, 4), jnp.float32),
-        min_bound=min_bound, max_bound=max_bound,
-        grid_spacing=jnp.zeros(3, jnp.float32),
-        data_min=data_min, step_size=jnp.float32(0.0),
-        max_step_size=jnp.float32(0.0))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_chief_march(static, slabs, x0, y0, min_bound, max_bound,
-                        data_min, cx, cy, cz, dx, dy, dz):
-    """Pallas chief march with an XLA-recompute backward pass.
-
-    The fused kernel has no autodiff rule; gradients re-run the math
-    through the differentiable XLA tube march (march_tubes) in the
-    backward pass — one extra march per backward, same trade as
-    jax.checkpoint.  ``static`` = (w, h, d, algorithm).
-    """
-    w, h, d, algorithm = static
-    from photon_tpu.ops.march_pallas import march_chief_pallas
-    vol = _shape_volume(w, h, d, min_bound, max_bound, data_min)
-    return march_chief_pallas(vol, TubeBundle(slabs, x0, y0),
-                              cx, cy, cz, dx, dy, dz, algorithm=algorithm)
-
-
-def _pallas_chief_march_fwd(static, *args):
-    return _pallas_chief_march(static, *args), args
-
-
-def _pallas_chief_march_bwd(static, args, cts):
-    w, h, d, algorithm = static
-
-    def xla(slabs, x0, y0, min_bound, max_bound, data_min,
-            cx, cy, cz, dx, dy, dz):
-        vol = _shape_volume(w, h, d, min_bound, max_bound, data_min)
-        return march_tubes(vol, TubeBundle(slabs, x0, y0),
-                           cx, cy, cz, dx, dy, dz, algorithm=algorithm)
-
-    _, vjp = jax.vjp(xla, *args)
-    return vjp(cts)
-
-
-_pallas_chief_march.defvjp(_pallas_chief_march_fwd, _pallas_chief_march_bwd)
-
-
 def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
                          slope_x, slope_y, xs, ys, zs, dcx, dcy, dcz,
                          algorithm: int = 2,
                          tube_width: int = TUBE_WIDTH,
                          particles_per_chunk: Optional[int] = 16384,
-                         use_pallas: bool = False,
                          interpolation_scheme: int = 1):
     """Tube extraction + chief march over bounded particle chunks.
 
@@ -509,13 +458,18 @@ def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
     :func:`march_chief_deltas`, each (P,).
 
     ``interpolation_scheme=2`` prefilters the whole volume to B-spline
-    coefficients once (differentiable), then cuts tricubic-ready tubes;
-    pass ``tube_width >= 6``.  The Pallas kernel is trilinear-only.
+    coefficients once (differentiable), then cuts tricubic-ready tubes.
+
+    Note on Pallas here: the tube path's cost is the extraction gather
+    (XLA ~70M elem/s on TPU — there is no per-lane gather hardware to
+    beat it with), not the march arithmetic; a fused Pallas tube march
+    was benchmarked at +0.07% end to end (round-2 BENCH) and removed.
+    The production Pallas kernel is the dense fused march
+    (ops.march_dense_fused), which covers every volume whose slabs fit
+    VMEM; this path exists for the slabs that don't.
     """
     p = xs.shape[0]
     if interpolation_scheme == 2:
-        if use_pallas:
-            raise NotImplementedError("Pallas tube march is trilinear-only")
         if tube_width < 6:
             tube_width = 6
         from photon_tpu.ops.march_dense import bspline_prefilter_jax
@@ -525,15 +479,6 @@ def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
         ex, ey, sx_, sy_, cx_, cy_, cz_, dx_, dy_, dz_ = args
         tubes = extract_tubes(vol, ex, ey, tube_width=tube_width,
                               slope_x=sx_, slope_y=sy_)
-        if use_pallas:
-            w, h, d = (int(s) for s in vol.sizes)
-            x1, y1, z1, dx1, dy1, dz1 = _pallas_chief_march(
-                (w, h, d, algorithm), tubes.slabs, tubes.x0, tubes.y0,
-                vol.min_bound, vol.max_bound, jnp.float32(vol.data_min),
-                cx_, cy_, cz_, dx_, dy_, dz_)
-            t = (z1 - cz_) / dz_
-            return (z1, x1 - (cx_ + dx_ * t), y1 - (cy_ + dy_ * t),
-                    dx1 - dx_, dy1 - dy_, dz1 - dz_)
         return march_chief_deltas(vol, tubes, cx_, cy_, cz_, dx_, dy_, dz_,
                                   algorithm=algorithm,
                                   interpolation_scheme=interpolation_scheme)
@@ -568,7 +513,7 @@ def chief_deltas_chunked(vol: DensityVolume, entry_x, entry_y,
 chief_deltas_chunked_jit = jax.jit(
     chief_deltas_chunked,
     static_argnames=("algorithm", "tube_width", "particles_per_chunk",
-                     "use_pallas", "interpolation_scheme"))
+                     "interpolation_scheme"))
 
 
 def apply_chief_deltas(deltas, px, py, pz, dx, dy, dz):
