@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photon_tpu.ops.march_dense_pallas import _dot3, _weights_T
+from photon_tpu.ops.march_dense_pallas import (_dot3, _weights_T,
+                                               _weights_T_du)
 
 _B = 1024          # rays per block (lane-major rows)
 
@@ -61,7 +62,25 @@ def _round_up(x: int, m: int) -> int:
 
 def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
                   *, W: int, H: int, S: int, scheme: int, algorithm: int,
-                  substeps: int):
+                  substeps: int, traj_ref=None):
+    return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
+                              traj_ref, scratch, W=W, H=H, S=S,
+                              scheme=scheme, algorithm=algorithm,
+                              substeps=substeps)
+
+
+def _fused_kernel_traj(params_ref, state_ref, pair_ref, out_ref, traj_ref,
+                       scratch, *, W: int, H: int, S: int, scheme: int,
+                       algorithm: int, substeps: int):
+    return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
+                              traj_ref, scratch, W=W, H=H, S=S,
+                              scheme=scheme, algorithm=algorithm,
+                              substeps=substeps)
+
+
+def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
+                       scratch, *, W: int, H: int, S: int, scheme: int,
+                       algorithm: int, substeps: int):
     """One (ray block g, slab s) grid step of the fused march.
 
     params_ref (SMEM, (8,)): min_x, min_y, sx, sy, z_min, dz_slab.
@@ -69,12 +88,17 @@ def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
     pair_ref: (W*4, 2H) — slab pair s in the packed-K layout
       [loT | hiT] along the contraction axis.
     scratch: (8, B) VMEM register file persisting across the slab axis.
+    traj_ref: optional (1, 1, 8, B) per-(g, s) output recording the state
+      at the ENTRY of step s — consumed by the fused backward kernel.
     """
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
         scratch[:] = state_ref[0]
+
+    if traj_ref is not None:
+        traj_ref[0, 0] = scratch[:]
 
     min_x = params_ref[0]
     min_y = params_ref[1]
@@ -153,12 +177,26 @@ def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
         out_ref[0] = scratch[:]
 
 
-def _fused_call(static, params, state, pairs):
-    """state: (G, 8, B); pairs: (S, W*4, 2H); params: (8,) f32."""
+def _fused_call(static, params, state, pairs, save_traj: bool = False):
+    """state: (G, 8, B); pairs: (S, W*4, 2H); params: (8,) f32.
+
+    With ``save_traj`` also returns the (G, S, 8, B) per-step entry
+    states (the fused backward kernel's residual)."""
     W, H, S, scheme, algorithm, substeps, interpret = static
     G = state.shape[0]
-    kern = functools.partial(_fused_kernel, W=W, H=H, S=S, scheme=scheme,
-                             algorithm=algorithm, substeps=substeps)
+    kw = dict(W=W, H=H, S=S, scheme=scheme, algorithm=algorithm,
+              substeps=substeps)
+    kern = functools.partial(
+        _fused_kernel_traj if save_traj else _fused_kernel, **kw)
+    out_specs = pl.BlockSpec((1, 8, _B), lambda g, s: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((G, 8, _B), jnp.float32)
+    if save_traj:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, 8, _B), lambda g, s: (g, s, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((G, S, 8, _B), jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(G, S),
@@ -169,12 +207,249 @@ def _fused_call(static, params, state, pairs):
             pl.BlockSpec((1, W * 4, 2 * H), lambda g, s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, _B), lambda g, s: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 8, _B), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((8, _B), jnp.float32)],
         interpret=interpret,
     )(params, state, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward kernel: hand-written RK4/Euler transpose over the slab scan
+# ---------------------------------------------------------------------------
+
+
+def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
+                      dpair_ref, dstate_ref, ct_scratch,
+                      *, W: int, H: int, S: int, G: int, scheme: int,
+                      algorithm: int):
+    """One (reversed slab si, ray block g) step of the fused backward.
+
+    Grid is (S, G) with the slab axis OUTER (reversed: forward step
+    s = S-1-si) so the d_pair output block for step s stays resident in
+    VMEM while the inner g loop accumulates every ray block's
+    contribution; the per-block cotangent state lives in the
+    (G*8, B) scratch across the whole sweep.
+
+    traj_ref: (1, 1, 8, B) — the forward ENTRY state of step s for
+    block g (saved by the forward kernel).  ct_in_ref: the upstream
+    cotangent of the final state.  dstate_ref receives the cotangent of
+    the march's entry state on the last sweep.  Gradients w.r.t. the
+    geometry scalars in params are NOT produced (zeros) — volume bounds
+    are never optimization variables here.
+    """
+    si = pl.program_id(0)
+    g = pl.program_id(1)
+
+    min_x = params_ref[0]
+    min_y = params_ref[1]
+    sx = params_ref[2]
+    sy = params_ref[3]
+    z_min = params_ref[4]
+    dz_slab = params_ref[5]
+
+    # forward step s = S-1-si lands on plane index ks = si
+    ks = si.astype(jnp.float32)
+    z_plane = jnp.maximum(z_min + (ks - 0.5) * dz_slab, z_min)
+
+    @pl.when(si == 0)
+    def _():
+        ct_scratch[pl.ds(g * 8, 8)] = ct_in_ref[0]
+
+    @pl.when(g == 0)
+    def _():
+        dpair_ref[:] = jnp.zeros_like(dpair_ref)
+
+    row = traj_ref[0, 0]                   # (8, B) entry state of step s
+    x, y, z = row[0:1], row[1:2], row[2:3]
+    Tx, Ty, Tz = row[3:4], row[4:5], row[5:6]
+    inside = row[6:7]
+    in_band = (inside > 0.0) & (z > z_plane)
+    h = z_plane - z                        # hstep
+
+    ct = ct_scratch[pl.ds(g * 8, 8)]       # (8, B)
+    ct_x, ct_y, ct_z = ct[0:1], ct[1:2], ct[2:3]
+    ct_Tx, ct_Ty, ct_Tz = ct[3:4], ct[4:5], ct[5:6]
+
+    zero = jnp.zeros_like(x)
+    gate = in_band.astype(jnp.float32)
+    d_new = (ct_x * gate, ct_y * gate, ct_Tx * gate, ct_Ty * gate,
+             ct_Tz * gate)
+
+    dn_fwd = (((1,), (0,)), ((), ()))      # pair (W4, 2H) @ (2H, B)
+    dn_ctp = (((1,), (1,)), ((), ()))      # d_A (W4, B) x wy_cat (2H, B)
+    dn_dwy = (((0,), (0,)), ((), ()))      # pair (W4, 2H) x d_A (W4, B)
+
+    def f(st, z_at, exact):
+        """Stage RHS; ``exact`` uses the 3-pass split matmul (the
+        recomputed primal trajectory), cotangent passes use single-pass."""
+        px, py, tx, ty, tz = st
+        uz_raw = (z_at - z_plane) / dz_slab
+        uz = jnp.clip(uz_raw, 0.0, 1.0)
+        ux = 0.5 + (px - min_x) / sx
+        uy = 0.5 + (py - min_y) / sy
+        wx = _weights_T(ux, W, scheme)
+        wy = _weights_T(uy, H, scheme)
+        wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
+        if exact:
+            A = _dot3(pair_ref[0], wy_cat, dn_fwd)
+        else:
+            A = jax.lax.dot_general(pair_ref[0], wy_cat, dn_fwd,
+                                    preferred_element_type=jnp.float32)
+        A_r = A.reshape(W, 4, _B)
+        s4 = jnp.sum(A_r * wx[:, None, :], axis=0)        # (4, B)
+        gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
+        inv = 1.0 / tz
+        gfac = (1.0 + nm1) * inv
+        k = (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
+        cache = (uz_raw, uz, ux, uy, wx, wy, wy_cat, A_r, gx, gy, gz,
+                 nm1, inv, gfac)
+        return k, cache
+
+    def vjp_f(st, cache, d5):
+        """Cotangents of one stage sample from its recompute cache."""
+        px, py, tx, ty, tz = st
+        (uz_raw, uz, ux, uy, wx, wy, wy_cat, A_r, gx, gy, gz,
+         nm1, inv, gfac) = cache
+        d0, d1, d2, d3, d4 = d5
+        d_gx = d2 * gfac
+        d_gy = d3 * gfac
+        d_gz = d4 * gfac
+        d_gfac = d2 * gx + d3 * gy + d4 * gz
+        d_nm1 = d_gfac * inv
+        d_inv = d0 * tx + d1 * ty + d_gfac * (1.0 + nm1)
+        d_tx = d0 * inv
+        d_ty = d1 * inv
+        d_tz = -(inv * inv) * d_inv
+        d_s4 = jnp.concatenate([d_gx, d_gy, d_gz, d_nm1], axis=0)  # (4, B)
+        d_A = (wx[:, None, :] * d_s4[None]).reshape(W * 4, _B)
+        d_wx = jnp.sum(A_r * d_s4[None], axis=1)          # (W, B)
+        d_ux = jnp.sum(d_wx * _weights_T_du(ux, W, scheme),
+                       axis=0, keepdims=True)
+        ct_pair = jax.lax.dot_general(d_A, wy_cat, dn_ctp,
+                                      preferred_element_type=jnp.float32)
+        d_wy_cat = jax.lax.dot_general(pair_ref[0], d_A, dn_dwy,
+                                       preferred_element_type=jnp.float32)
+        d_wy = d_wy_cat[:H] * (1.0 - uz) + d_wy_cat[H:] * uz
+        d_uz = jnp.sum(wy * (d_wy_cat[H:] - d_wy_cat[:H]),
+                       axis=0, keepdims=True)
+        d_uy = jnp.sum(d_wy * _weights_T_du(uy, H, scheme),
+                       axis=0, keepdims=True)
+        mask = ((uz_raw >= 0.0) & (uz_raw <= 1.0)).astype(jnp.float32)
+        d_z_at = d_uz * mask / dz_slab
+        d_state = (d_ux / sx, d_uy / sy, d_tx, d_ty, d_tz)
+        return d_state, d_z_at, ct_pair
+
+    def add5(a, c, b):
+        return tuple(ai + c * bi for ai, bi in zip(a, b))
+
+    def dot5(a, b):
+        return sum(ai * bi for ai, bi in zip(a, b))
+
+    s1 = (x, y, Tx, Ty, Tz)
+    if algorithm == 1:
+        k1, c1 = f(s1, z, True)
+        d_st = d_new
+        d_h = dot5(d_new, k1)
+        d_k1 = tuple(h * d for d in d_new)
+        v1, d_z1, ctp = vjp_f(s1, c1, d_k1)
+        d_st = add5(d_st, 1.0, v1)
+        d_z = d_z1 - d_h
+    else:
+        h2 = h / 2.0
+        k1, c1 = f(s1, z, True)
+        s2 = add5(s1, h2, k1)
+        k2, c2 = f(s2, z + h2, True)
+        s3 = add5(s1, h2, k2)
+        k3, c3 = f(s3, z + h2, True)
+        s4 = add5(s1, h, k3)
+        k4, c4 = f(s4, z + h, True)
+
+        combo = tuple(a + 2.0 * b + 2.0 * c + d
+                      for a, b, c, d in zip(k1, k2, k3, k4))
+        d_st = d_new
+        d_h = dot5(d_new, combo) / 6.0
+        d_z = zero
+
+        d_k4 = tuple((h / 6.0) * d for d in d_new)
+        v4, d_z4, ctp4 = vjp_f(s4, c4, d_k4)
+        d_st = add5(d_st, 1.0, v4)
+        d_h = d_h + dot5(v4, k3) + d_z4
+        d_z = d_z + d_z4
+        d_k3 = add5(tuple((h / 3.0) * d for d in d_new), h, v4)
+
+        v3, d_z3, ctp3 = vjp_f(s3, c3, d_k3)
+        d_st = add5(d_st, 1.0, v3)
+        d_h = d_h + 0.5 * dot5(v3, k2) + 0.5 * d_z3
+        d_z = d_z + d_z3
+        d_k2 = add5(tuple((h / 3.0) * d for d in d_new), h2, v3)
+
+        v2, d_z2, ctp2 = vjp_f(s2, c2, d_k2)
+        d_st = add5(d_st, 1.0, v2)
+        d_h = d_h + 0.5 * dot5(v2, k1) + 0.5 * d_z2
+        d_z = d_z + d_z2
+        d_k1 = add5(tuple((h / 6.0) * d for d in d_new), h2, v2)
+
+        v1, d_z1, ctp1 = vjp_f(s1, c1, d_k1)
+        d_st = add5(d_st, 1.0, v1)
+        d_z = d_z + d_z1
+        d_z = d_z - d_h                     # h = z_plane - z
+        ctp = ctp1 + ctp2 + ctp3 + ctp4
+
+    dpair_ref[:] += ctp[None]
+
+    sel = in_band
+    new_ct = jnp.concatenate([
+        jnp.where(sel, d_st[0], ct_x), jnp.where(sel, d_st[1], ct_y),
+        jnp.where(sel, d_z, ct_z), jnp.where(sel, d_st[2], ct_Tx),
+        jnp.where(sel, d_st[3], ct_Ty), jnp.where(sel, d_st[4], ct_Tz),
+        zero, zero], axis=0)
+    ct_scratch[pl.ds(g * 8, 8)] = new_ct
+
+    @pl.when(si == S - 1)
+    def _():
+        dstate_ref[0] = new_ct
+
+
+def _bwd_fused_call(static, params, traj, pairs, ct_out):
+    W, H, S, scheme, algorithm, substeps, interpret = static
+    G = traj.shape[0]
+    kern = functools.partial(_bwd_fused_kernel, W=W, H=H, S=S, G=G,
+                             scheme=scheme, algorithm=algorithm)
+    dpairs, dstate = pl.pallas_call(
+        kern,
+        grid=(S, G),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8, _B), lambda si, g: (g, S - 1 - si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * 4, 2 * H),
+                         lambda si, g: (S - 1 - si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _B), lambda si, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W * 4, 2 * H),
+                         lambda si, g: (S - 1 - si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _B), lambda si, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, W * 4, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, _B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((G * 8, _B), jnp.float32)],
+        interpret=interpret,
+    )(params, traj, pairs, ct_out)
+    return dpairs, dstate
+
+
+# a (G*8, B) cotangent scratch at G blocks of 1024 rays: cap the fused
+# backward at 128 blocks (4 MB scratch); larger marches fall back to the
+# per-stage recompute path
+_BWD_MAX_G = 128
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -185,26 +460,38 @@ def _fused_march(static, params, state, pairs, field):
 
 
 def _fused_march_fwd(static, params, state, pairs, field):
-    return _fused_call(static, params, state, pairs), (params, state, field)
+    W, H, S, scheme, algorithm, substeps, interpret = static
+    G = state.shape[0]
+    if algorithm in (1, 2) and substeps == 1 and G <= _BWD_MAX_G:
+        out, traj = _fused_call(static, params, state, pairs,
+                                save_traj=True)
+        return out, (params, traj, pairs, None, field)
+    return _fused_call(static, params, state, pairs), \
+        (params, None, None, state, field)
 
 
 def _fused_march_bwd(static, res, ct):
-    """Recompute-in-backward through the differentiable per-stage path.
+    """Backward dispatch: the fused cotangent kernel when the forward
+    saved its trajectory (Euler/RK4, single substep); otherwise a
+    recompute through the differentiable per-stage path.
 
-    Rebuilds the march from the saved (params, state, field) with the
-    per-stage sampler kernels (their hand-written cotangent kernels do
-    the heavy lifting) and transposes the state packing around it.
-    """
+    Either way the ``pairs``/``field`` split is the same: the total
+    field gradient is pairs_packed's transpose of d_pairs plus d_field,
+    and each path routes the whole gradient through exactly one of the
+    two.  Gradients w.r.t. the geometry scalars in params are zero on
+    the fused path (volume bounds are never optimization variables)."""
     W, H, S, scheme, algorithm, substeps, interpret = static
-    params, state, field = res
+    params, traj, pairs, state, field = res
+    if traj is not None:
+        d_pairs, d_state = _bwd_fused_call(static, params, traj, pairs, ct)
+        return (jnp.zeros_like(params), d_state, d_pairs,
+                jnp.zeros_like(field))
 
     def unfused(params, state, field):
         return _unfused_equivalent(static, params, state, field)
 
     _, vjp = jax.vjp(unfused, params, state, field)
     d_params, d_state, d_field = vjp(ct)
-    # pairs is a pure repack of field; its cotangent is folded into
-    # d_field by the recompute (which rebuilds the pairs internally)
     d_pairs = jnp.zeros((S, W * 4, 2 * H), jnp.float32)
     return d_params, d_state, d_pairs, d_field
 

@@ -62,18 +62,21 @@ def test_fused_miss_rays_pass_through():
     np.testing.assert_allclose(np.asarray(got[3]), np.asarray(dx), rtol=0)
 
 
-def test_fused_gradients_match_per_stage():
+@pytest.mark.parametrize("algorithm", [1, 2])
+def test_fused_field_gradients_match_per_stage(algorithm):
+    """algorithm 1/2 exercise the fused cotangent kernel; the per-stage
+    XLA path is the oracle."""
     vol = _vol(n=8)
     chiefs = _chiefs(11)
 
     def loss_fused(field):
-        out = march_chief_fused(vol, *chiefs, algorithm=2, field=field,
-                                interpret=True)
+        out = march_chief_fused(vol, *chiefs, algorithm=algorithm,
+                                field=field, interpret=True)
         return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
 
     def loss_ref(field):
-        out = march_chief_dense(vol, *chiefs, algorithm=2, field=field,
-                                use_pallas_sampler=False)
+        out = march_chief_dense(vol, *chiefs, algorithm=algorithm,
+                                field=field, use_pallas_sampler=False)
         return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
 
     g_fused = jax.grad(loss_fused)(vol.field)
@@ -82,3 +85,51 @@ def test_fused_gradients_match_per_stage():
     denom = np.abs(gr).max()
     assert denom > 0
     np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)
+
+
+def test_fused_state_gradients_match_per_stage():
+    """Cotangents w.r.t. the chief entry state (dot positions/directions)
+    through the fused backward kernel."""
+    vol = _vol(n=8)
+    xs, ys, zs, dx, dy, dz = _chiefs(11)
+
+    def out_sum(marcher, x0, tx0):
+        def run(args):
+            x, t = args
+            inv = 1.0 / jnp.sqrt(t * t + dy * dy + dz * dz)
+            o = marcher(vol, x, ys, zs, t * inv, dy * inv, dz * inv)
+            return jnp.sum(o[0]) + 1e6 * jnp.sum(o[3])
+        return jax.grad(run)((x0, tx0))
+
+    g_fused = out_sum(lambda v, *a: march_chief_fused(v, *a, algorithm=2,
+                                                      interpret=True),
+                      xs, dx)
+    g_ref = out_sum(lambda v, *a: march_chief_dense(
+        v, *a, algorithm=2, use_pallas_sampler=False), xs, dx)
+    for gf, gr in zip(g_fused, g_ref):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        denom = np.abs(gr).max()
+        assert denom > 0
+        np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
+
+
+def test_fused_tricubic_gradients_match_per_stage():
+    vol = _vol(n=8)
+    chiefs = _chiefs(7)
+
+    def loss(marcher):
+        def fn(field):
+            out = marcher(field)
+            return jnp.sum(out[1] ** 2 + out[4] ** 2 * 1e6)
+        return fn
+
+    g_fused = jax.grad(loss(lambda f: march_chief_fused(
+        vol, *chiefs, algorithm=2, interpolation_scheme=2, field=f,
+        interpret=True)))(vol.field)
+    g_ref = jax.grad(loss(lambda f: march_chief_dense(
+        vol, *chiefs, algorithm=2, interpolation_scheme=2, field=f,
+        use_pallas_sampler=False)))(vol.field)
+    gf, gr = np.asarray(g_fused), np.asarray(g_ref)
+    denom = np.abs(gr).max()
+    assert denom > 0
+    np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
