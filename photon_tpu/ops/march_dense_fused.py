@@ -280,10 +280,33 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
     dn_ctp = (((1,), (1,)), ((), ()))      # d_A (W4, B) x wy_cat (2H, B)
     dn_dwy = (((0,), (0,)), ((), ()))      # pair (W4, 2H) x d_A (W4, B)
 
-    def f(st, z_at, exact):
-        """Stage RHS; ``exact`` uses the 3-pass split matmul (the
-        recomputed primal trajectory), cotangent passes use single-pass."""
+    def f(st, z_at):
+        """Stage RHS with the 3-pass split matmul (the recomputed primal
+        trajectory must match the forward kernel's accuracy).  Returns
+        k plus the sampled channels the VJP reuses; the weight matrices
+        are NOT cached — keeping 4 stages of (W, B)/(2H, B) live was a
+        measured VMEM OOM, so vjp_f rebuilds them (~15% extra flops)."""
         px, py, tx, ty, tz = st
+        uz = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
+        ux = 0.5 + (px - min_x) / sx
+        uy = 0.5 + (py - min_y) / sy
+        wx = _weights_T(ux, W, scheme)
+        wy = _weights_T(uy, H, scheme)
+        wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
+        A = _dot3(pair_ref[0], wy_cat, dn_fwd)
+        A_r = A.reshape(W, 4, _B)
+        s4 = jnp.sum(A_r * wx[:, None, :], axis=0)        # (4, B)
+        gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
+        inv = 1.0 / tz
+        gfac = (1.0 + nm1) * inv
+        k = (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
+        return k, (gx, gy, gz, nm1, inv, gfac)
+
+    def vjp_f(st, z_at, cache, d5):
+        """Cotangents of one stage sample; recomputes the weight
+        matrices and the (single-pass) contraction in place."""
+        px, py, tx, ty, tz = st
+        gx, gy, gz, nm1, inv, gfac = cache
         uz_raw = (z_at - z_plane) / dz_slab
         uz = jnp.clip(uz_raw, 0.0, 1.0)
         ux = 0.5 + (px - min_x) / sx
@@ -291,26 +314,9 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
         wx = _weights_T(ux, W, scheme)
         wy = _weights_T(uy, H, scheme)
         wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
-        if exact:
-            A = _dot3(pair_ref[0], wy_cat, dn_fwd)
-        else:
-            A = jax.lax.dot_general(pair_ref[0], wy_cat, dn_fwd,
-                                    preferred_element_type=jnp.float32)
-        A_r = A.reshape(W, 4, _B)
-        s4 = jnp.sum(A_r * wx[:, None, :], axis=0)        # (4, B)
-        gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
-        inv = 1.0 / tz
-        gfac = (1.0 + nm1) * inv
-        k = (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
-        cache = (uz_raw, uz, ux, uy, wx, wy, wy_cat, A_r, gx, gy, gz,
-                 nm1, inv, gfac)
-        return k, cache
-
-    def vjp_f(st, cache, d5):
-        """Cotangents of one stage sample from its recompute cache."""
-        px, py, tx, ty, tz = st
-        (uz_raw, uz, ux, uy, wx, wy, wy_cat, A_r, gx, gy, gz,
-         nm1, inv, gfac) = cache
+        A_r = jax.lax.dot_general(
+            pair_ref[0], wy_cat, dn_fwd,
+            preferred_element_type=jnp.float32).reshape(W, 4, _B)
         d0, d1, d2, d3, d4 = d5
         d_gx = d2 * gfac
         d_gy = d3 * gfac
@@ -348,22 +354,22 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
 
     s1 = (x, y, Tx, Ty, Tz)
     if algorithm == 1:
-        k1, c1 = f(s1, z, True)
+        k1, c1 = f(s1, z)
         d_st = d_new
         d_h = dot5(d_new, k1)
         d_k1 = tuple(h * d for d in d_new)
-        v1, d_z1, ctp = vjp_f(s1, c1, d_k1)
+        v1, d_z1, ctp = vjp_f(s1, z, c1, d_k1)
         d_st = add5(d_st, 1.0, v1)
         d_z = d_z1 - d_h
     else:
         h2 = h / 2.0
-        k1, c1 = f(s1, z, True)
+        k1, c1 = f(s1, z)
         s2 = add5(s1, h2, k1)
-        k2, c2 = f(s2, z + h2, True)
+        k2, c2 = f(s2, z + h2)
         s3 = add5(s1, h2, k2)
-        k3, c3 = f(s3, z + h2, True)
+        k3, c3 = f(s3, z + h2)
         s4 = add5(s1, h, k3)
-        k4, c4 = f(s4, z + h, True)
+        k4, c4 = f(s4, z + h)
 
         combo = tuple(a + 2.0 * b + 2.0 * c + d
                       for a, b, c, d in zip(k1, k2, k3, k4))
@@ -372,25 +378,25 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
         d_z = zero
 
         d_k4 = tuple((h / 6.0) * d for d in d_new)
-        v4, d_z4, ctp4 = vjp_f(s4, c4, d_k4)
+        v4, d_z4, ctp4 = vjp_f(s4, z + h, c4, d_k4)
         d_st = add5(d_st, 1.0, v4)
         d_h = d_h + dot5(v4, k3) + d_z4
         d_z = d_z + d_z4
         d_k3 = add5(tuple((h / 3.0) * d for d in d_new), h, v4)
 
-        v3, d_z3, ctp3 = vjp_f(s3, c3, d_k3)
+        v3, d_z3, ctp3 = vjp_f(s3, z + h2, c3, d_k3)
         d_st = add5(d_st, 1.0, v3)
         d_h = d_h + 0.5 * dot5(v3, k2) + 0.5 * d_z3
         d_z = d_z + d_z3
         d_k2 = add5(tuple((h / 3.0) * d for d in d_new), h2, v3)
 
-        v2, d_z2, ctp2 = vjp_f(s2, c2, d_k2)
+        v2, d_z2, ctp2 = vjp_f(s2, z + h2, c2, d_k2)
         d_st = add5(d_st, 1.0, v2)
         d_h = d_h + 0.5 * dot5(v2, k1) + 0.5 * d_z2
         d_z = d_z + d_z2
         d_k1 = add5(tuple((h / 6.0) * d for d in d_new), h2, v2)
 
-        v1, d_z1, ctp1 = vjp_f(s1, c1, d_k1)
+        v1, d_z1, ctp1 = vjp_f(s1, z, c1, d_k1)
         d_st = add5(d_st, 1.0, v1)
         d_z = d_z + d_z1
         d_z = d_z - d_h                     # h = z_plane - z

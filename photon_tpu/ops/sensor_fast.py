@@ -129,11 +129,59 @@ def bilinear_patch_splat(X, Y, amp, pred_col, pred_row, *, nx: int, ny: int,
     return _scatter_patches(patches, col0 - 1, row0 - 1, nx, ny)
 
 
+def _particle_splat_xla(Xs, Ys, A, col0, row0, static):
+    """XLA patch + scatter formulation (also the Pallas kernel's
+    backward: the scatter transpose is a cheap patch gather)."""
+    nx, ny, diameter, K, render_fraction = static
+    fc = (col0[:, None] + jnp.arange(K, dtype=jnp.int32)[None]) \
+        .astype(Xs.dtype) - Xs[:, None]                 # (P, K)
+    fr = (row0[:, None] + jnp.arange(K, dtype=jnp.int32)[None]) \
+        .astype(Ys.dtype) - Ys[:, None]
+    wx = _erf_pair(fc, diameter)                        # (P, K)
+    wy = _erf_pair(fr, diameter) * A[:, None]
+    patches = wy[:, :, None] * wx[:, None, :]           # (P, K, K) [row,col]
+    rf_d = jnp.float32(render_fraction * diameter)
+    in_circle = (fc[:, None, :] ** 2 + fr[:, :, None] ** 2) <= rf_d * rf_d
+    patches = jnp.where(in_circle, patches, 0.0)
+    return _scatter_patches(patches, col0, row0, nx, ny)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _particle_splat_fused(static, Xs, Ys, A, col0, row0):
+    """Fused Pallas splat (ops.splat_pallas) with an XLA-transpose
+    backward.  Anchors must be fully in-bounds (particle_splat clamps)."""
+    from photon_tpu.ops.splat_pallas import splat_particles_pallas
+    nx, ny, diameter, K, render_fraction = static
+    return splat_particles_pallas(
+        Xs, Ys, A, col0, row0, K=K, ny=ny, nx=nx, diameter=diameter,
+        render_fraction=render_fraction,
+        interpret=jax.default_backend() != "tpu")
+
+
+def _particle_splat_fused_fwd(static, Xs, Ys, A, col0, row0):
+    return (_particle_splat_fused(static, Xs, Ys, A, col0, row0),
+            (Xs, Ys, A, col0, row0))
+
+
+def _particle_splat_fused_bwd(static, res, ct):
+    Xs, Ys, A, col0, row0 = res
+    _, vjp = jax.vjp(
+        lambda x, y, a: _particle_splat_xla(x, y, a, col0, row0, static),
+        Xs, Ys, A)
+    d_x, d_y, d_a = vjp(ct)
+    return d_x, d_y, d_a, None, None
+
+
+_particle_splat_fused.defvjp(_particle_splat_fused_fwd,
+                             _particle_splat_fused_bwd)
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "patch", "diameter",
-                                   "render_fraction"))
+                                   "render_fraction", "use_pallas"))
 def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
                    diameter: float, patch: int = 12,
-                   render_fraction: float = 0.75):
+                   render_fraction: float = 0.75,
+                   use_pallas: bool = None):
     """One erf spot per *particle* at its amplitude-weighted ray centroid.
 
     Valid whenever a particle's rays land within a small fraction of a
@@ -147,27 +195,32 @@ def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
     ~2% of the spot flux, measured) applies per particle on the
     materialized patch.
 
+    The anchor window is clamped fully inside the frame: erf weights
+    depend only on ``pixel - center``, so the clamp never changes a
+    visible pixel (the circular mask bounds the support) — it just makes
+    every deposit bounds-free, which the fused Pallas splat
+    (ops.splat_pallas, the TPU default) relies on.
+
     Args:
       Xbar, Ybar: (P,) amplitude-weighted splat centers (pixel coords).
       A: (P,) summed ray amplitude (radiance * cos^4 * 8/pi), zero for
         particles with no surviving rays.
     """
     K = patch
-    col0 = jnp.clip(pred_col - K // 2, -K, nx - 1)
-    row0 = jnp.clip(pred_row - K // 2, -K, ny - 1)
+    col0 = jnp.clip(pred_col - K // 2, 0, max(nx - K, 0))
+    row0 = jnp.clip(pred_row - K // 2, 0, max(ny - K, 0))
     safe = jnp.isfinite(Xbar) & jnp.isfinite(Ybar) & (A > 0)
     Xs = jnp.where(safe, Xbar, -1e6)
     Ys = jnp.where(safe, Ybar, -1e6)
     A = jnp.where(safe, A, 0.0) * jnp.float32(math.pi / 32.0)
 
-    fc = (col0[:, None] + jnp.arange(K, dtype=jnp.int32)[None]) \
-        .astype(Xs.dtype) - Xs[:, None]                 # (P, K)
-    fr = (row0[:, None] + jnp.arange(K, dtype=jnp.int32)[None]) \
-        .astype(Ys.dtype) - Ys[:, None]
-    wx = _erf_pair(fc, diameter)                        # (P, K)
-    wy = _erf_pair(fr, diameter) * A[:, None]
-    patches = wy[:, :, None] * wx[:, None, :]           # (P, K, K) [row,col]
-    rf_d = jnp.float32(render_fraction * diameter)
-    in_circle = (fc[:, None, :] ** 2 + fr[:, :, None] ** 2) <= rf_d * rf_d
-    patches = jnp.where(in_circle, patches, 0.0)
-    return _scatter_patches(patches, col0, row0, nx, ny)
+    static = (nx, ny, float(diameter), K, float(render_fraction))
+    if use_pallas is None:
+        import os
+        from photon_tpu.ops.splat_pallas import splat_supported
+        use_pallas = (jax.default_backend() == "tpu"
+                      and splat_supported(K, ny, nx)
+                      and os.environ.get("PHOTON_FUSED_SPLAT", "1") == "1")
+    if use_pallas:
+        return _particle_splat_fused(static, Xs, Ys, A, col0, row0)
+    return _particle_splat_xla(Xs, Ys, A, col0, row0, static)

@@ -133,3 +133,31 @@ def test_fused_tricubic_gradients_match_per_stage():
     denom = np.abs(gr).max()
     assert denom > 0
     np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
+
+
+def test_fused_march_under_shard_map():
+    """The fused kernel must run inside shard_map (the multi-chip render
+    path shards particles over the mesh and marches per shard)."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    vol = _vol(n=8)
+    xs, ys, zs, dx, dy, dz = _chiefs(16)
+    devices = np.asarray(jax.devices("cpu")[:4])
+    mesh = Mesh(devices, ("p",))
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("p"),) * 6, out_specs=(P("p"),) * 6,
+             check_vma=False)
+    def sharded(xs, ys, zs, dx, dy, dz):
+        return march_chief_fused(vol, xs, ys, zs, dx, dy, dz,
+                                 algorithm=2, interpret=True)
+
+    got = sharded(xs, ys, zs, dx, dy, dz)
+    ref = march_chief_dense(vol, xs, ys, zs, dx, dy, dz,
+                            use_pallas_sampler=False)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
