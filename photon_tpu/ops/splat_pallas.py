@@ -66,15 +66,18 @@ def _splat_kernel(xb_ref, yb_ref, amp_ref, col0_ref, row0_ref, img_ref,
 
     sqrt8_d = jnp.float32(math.sqrt(8.0) / diameter)
     rfd2 = jnp.float32((render_fraction * diameter) ** 2)
-    iota_c = jax.lax.broadcasted_iota(jnp.float32, (1, K), 1)
-    iota_r = jax.lax.broadcasted_iota(jnp.float32, (K, 1), 0)
+    # Mosaic's iota is integer-only; convert after
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) \
+        .astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) \
+        .astype(jnp.float32)
 
     def body(i, _):
-        X = xb_ref[0, i]
-        Y = yb_ref[0, i]
-        A = amp_ref[0, i]
-        c0 = col0_ref[0, i]
-        r0 = row0_ref[0, i]
+        X = xb_ref[0, 0, i]
+        Y = yb_ref[0, 0, i]
+        A = amp_ref[0, 0, i]
+        c0 = col0_ref[0, 0, i]
+        r0 = row0_ref[0, 0, i]
         fc = c0.astype(jnp.float32) + iota_c - X          # (1, K)
         fr = r0.astype(jnp.float32) + iota_r - Y          # (K, 1)
         wx = _erf(sqrt8_d * (fc - 0.5)) - _erf(sqrt8_d * (fc + 0.5))
@@ -123,13 +126,15 @@ def splat_particles_pallas(Xbar, Ybar, A, col0, row0, *, K: int, ny: int,
         a = a.astype(dtype)
         if pad:
             a = jnp.concatenate([a, jnp.zeros((pad,), dtype)])
-        return a.reshape(G, _PB)
+        # (G, 1, PB): the SMEM block's last two dims must equal the
+        # array's (Mosaic block-mapping rule), so the grid axis leads
+        return a.reshape(G, 1, _PB)
 
     args = (prep(Xbar, jnp.float32), prep(Ybar, jnp.float32),
             prep(A, jnp.float32), prep(col0, jnp.int32),
             prep(row0, jnp.int32))
 
-    row = pl.BlockSpec((1, _PB), lambda g: (g, 0),
+    row = pl.BlockSpec((1, 1, _PB), lambda g: (g, 0, 0),
                        memory_space=pltpu.SMEM)
     img = pl.pallas_call(
         functools.partial(_splat_kernel, K=K, ny=ny, nxt=nxt,
