@@ -136,7 +136,19 @@ def main() -> int:
         return img
 
     t0 = time.time()
-    img = run()
+    try:
+        img = run()
+    except Exception as e:  # noqa: BLE001
+        # insurance: if a fused Pallas kernel fails to lower on this
+        # backend/toolchain, disable the kernels and re-trace on the
+        # proven XLA/per-stage paths rather than losing the bench
+        print(f"# fused kernels failed ({type(e).__name__}: {e}); "
+              "retrying with PHOTON_FUSED_MARCH=0 PHOTON_FUSED_SPLAT=0",
+              file=sys.stderr)
+        os.environ["PHOTON_FUSED_MARCH"] = "0"
+        os.environ["PHOTON_FUSED_SPLAT"] = "0"
+        jax.clear_caches()
+        img = run()
     compile_s = time.time() - t0
     print(f"# compile+first run: {compile_s:.1f}s, image sum "
           f"{float(img.sum()):.4g}, rays {total_rays}", file=sys.stderr)
@@ -163,20 +175,25 @@ def main() -> int:
             return jnp.mean(img * img)
 
         vg = jax.jit(jax.value_and_grad(loss))
-        t0 = time.time()
-        l, g = vg(field0)
-        g.block_until_ready()
-        print(f"# fwd+bwd compile+1st: {time.time() - t0:.1f}s "
-              f"grad norm {float(jnp.abs(g).sum()):.3g}", file=sys.stderr)
-        bwd_times = []
-        for _ in range(max(reps - 1, 1)):
+        try:
             t0 = time.time()
             l, g = vg(field0)
             g.block_until_ready()
-            bwd_times.append(time.time() - t0)
-        fwd_bwd_rays_per_s = total_rays / min(bwd_times)
-        print(f"# fwd+bwd times: {[f'{t:.3f}' for t in bwd_times]}",
-              file=sys.stderr)
+            print(f"# fwd+bwd compile+1st: {time.time() - t0:.1f}s "
+                  f"grad norm {float(jnp.abs(g).sum()):.3g}",
+                  file=sys.stderr)
+            bwd_times = []
+            for _ in range(max(reps - 1, 1)):
+                t0 = time.time()
+                l, g = vg(field0)
+                g.block_until_ready()
+                bwd_times.append(time.time() - t0)
+            fwd_bwd_rays_per_s = total_rays / min(bwd_times)
+            print(f"# fwd+bwd times: {[f'{t:.3f}' for t in bwd_times]}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — keep the bench alive
+            print(f"# fwd+bwd failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     record = {
         "metric": "bos_rk4_forward_rays_per_s",

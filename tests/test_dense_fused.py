@@ -161,3 +161,26 @@ def test_fused_march_under_shard_map():
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_substep_gradient_fallback_matches():
+    """Algorithm 3 (RK4 x 2 substeps) has no fused transpose; its
+    backward recomputes through the per-stage path — check it."""
+    vol = _vol(n=8)
+    chiefs = _chiefs(9)
+
+    def loss(marcher):
+        def fn(field):
+            out = marcher(field)
+            return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
+        return fn
+
+    g_fused = jax.grad(loss(lambda f: march_chief_fused(
+        vol, *chiefs, algorithm=3, field=f, interpret=True)))(vol.field)
+    g_ref = jax.grad(loss(lambda f: march_chief_dense(
+        vol, *chiefs, algorithm=3, field=f,
+        use_pallas_sampler=False)))(vol.field)
+    gf, gr = np.asarray(g_fused), np.asarray(g_ref)
+    denom = np.abs(gr).max()
+    assert denom > 0
+    np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)
