@@ -659,7 +659,17 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
     static = (w, h, d - 1, int(interpolation_scheme), int(algorithm),
               substeps, bool(interpret))
 
-    out = _fused_march(static, params, state, pairs, field)  # (G, 8, B)
+    if G <= _BWD_MAX_G:
+        out = _fused_march(static, params, state, pairs, field)
+    else:
+        # block-chunk huge marches so every chunk stays inside the fused
+        # backward's (G*8, B) cotangent-scratch budget (the per-chunk
+        # d_pairs/d_field cotangents sum in the outer graph)
+        outs = [
+            _fused_march(static, params, state[i:i + _BWD_MAX_G], pairs,
+                         field)
+            for i in range(0, G, _BWD_MAX_G)]
+        out = jnp.concatenate(outs, axis=0)              # (G, 8, B)
     rows = jnp.transpose(out, (1, 0, 2)).reshape(8, G * _B)[:, :P]
     x, y, z, Tx, Ty, Tz = (rows[i] for i in range(6))
 

@@ -184,3 +184,30 @@ def test_fused_substep_gradient_fallback_matches():
     denom = np.abs(gr).max()
     assert denom > 0
     np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)
+
+
+def test_fused_march_block_chunking(monkeypatch):
+    """Marches wider than the fused backward's block budget split into
+    chunks; values and field gradients must be unaffected."""
+    import photon_tpu.ops.march_dense_fused as mdf
+
+    vol = _vol(n=8)
+    chiefs = _chiefs(2100)          # > 2 blocks of 1024
+
+    ref = march_chief_fused(vol, *chiefs, algorithm=2, interpret=True)
+    monkeypatch.setattr(mdf, "_BWD_MAX_G", 1)
+    got = march_chief_fused(vol, *chiefs, algorithm=2, interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-6)
+
+    def loss(field):
+        out = march_chief_fused(vol, *chiefs, algorithm=2, field=field,
+                                interpret=True)
+        return jnp.sum(out[0] ** 2)
+
+    g_chunked = np.asarray(jax.grad(loss)(vol.field))
+    monkeypatch.undo()
+    g_ref = np.asarray(jax.grad(loss)(vol.field))
+    denom = np.abs(g_ref).max()
+    assert denom > 0
+    np.testing.assert_allclose(g_chunked / denom, g_ref / denom, atol=1e-5)
