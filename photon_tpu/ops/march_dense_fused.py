@@ -453,9 +453,17 @@ def _bwd_fused_call(static, params, traj, pairs, ct_out):
 
 
 # a (G*8, B) cotangent scratch at G blocks of 1024 rays: cap the fused
-# backward at 128 blocks (4 MB scratch); larger marches fall back to the
-# per-stage recompute path
+# backward at 128 blocks (4 MB scratch); larger marches are chunked by
+# march_chief_fused (direct callers beyond the cap fall back to the
+# per-stage recompute path)
 _BWD_MAX_G = 128
+
+# the backward kernel's per-stage VJP transients (A_r, d_A, weight
+# matrices, bf16 matmul copies) scale with the slab area; 64x64 slabs
+# measure ~14 MB scoped VMEM (fits), 128x128 measured 23.5 MB (OOM on
+# v5e's 16 MB budget) — above this cap the backward recomputes through
+# the per-stage sampler path instead (proven to 256x256)
+_BWD_FUSED_MAX_SLAB = 64 * 64
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -468,7 +476,8 @@ def _fused_march(static, params, state, pairs, field):
 def _fused_march_fwd(static, params, state, pairs, field):
     W, H, S, scheme, algorithm, substeps, interpret = static
     G = state.shape[0]
-    if algorithm in (1, 2) and substeps == 1 and G <= _BWD_MAX_G:
+    if algorithm in (1, 2) and substeps == 1 and G <= _BWD_MAX_G \
+            and W * H <= _BWD_FUSED_MAX_SLAB:
         out, traj = _fused_call(static, params, state, pairs,
                                 save_traj=True)
         return out, (params, traj, pairs, None, field)

@@ -211,3 +211,32 @@ def test_fused_march_block_chunking(monkeypatch):
     denom = np.abs(g_ref).max()
     assert denom > 0
     np.testing.assert_allclose(g_chunked / denom, g_ref / denom, atol=1e-5)
+
+
+def test_fused_large_slab_gradient_falls_back():
+    """Slabs above the fused-backward VMEM cap (64x64) route gradients
+    through the per-stage recompute; forward stays fused."""
+    rng = np.random.default_rng(5)
+    n, d = 66, 6
+    lo, hi, z0, z1 = -6e4, 6e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, n)
+    rho = 1.2 + 0.8 * rng.random((n, n, d))
+    vol = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], (z1 - z0) / (d - 1)], [lo, lo, z0])
+    chiefs = _chiefs(9)
+
+    def loss(marcher):
+        def fn(field):
+            out = marcher(field)
+            return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
+        return fn
+
+    g_fused = jax.grad(loss(lambda f: march_chief_fused(
+        vol, *chiefs, algorithm=2, field=f, interpret=True)))(vol.field)
+    g_ref = jax.grad(loss(lambda f: march_chief_dense(
+        vol, *chiefs, algorithm=2, field=f,
+        use_pallas_sampler=False)))(vol.field)
+    gf, gr = np.asarray(g_fused), np.asarray(g_ref)
+    denom = np.abs(gr).max()
+    assert denom > 0
+    np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)
