@@ -108,6 +108,75 @@ def density_noise_for_displacement_noise(displacement_noise_std: float,
                * np.sqrt(2.0) * delta_z))
 
 
+def paraxial_displacement_oracle(cfg, setup, vol, src, samples: int = 256):
+    """Paraxial-oracle prediction of each dot's image displacement (px).
+
+    eps = (1/n0) * integral of grad(n)_perp ds along the straight chief
+    ray through the ACTUAL volume (midpoint rule over the AABB span),
+    mapped to the sensor: apparent object shift = eps * Z_D (volume
+    center -> dot plane), image shift = M * shift / pixel_pitch, x
+    mirrored by the sensor's pixel mapping
+    (parallel_ray_tracing.cu:1441-1447).  This is the per-dot
+    generalization of :func:`theoretical_deflection` — the reference's
+    own acceptance criterion for rendered BOS displacements
+    (createNRRD.py:108-116, light_ray_processing.py:532-638).
+
+    Args:
+      cfg: SimulationConfig (pixel pitch).
+      setup: CameraSetup (rotation, distances, magnification).
+      vol: DensityVolume (gradients sampled trilinearly along the ray).
+      src: LightfieldSource of the dots.
+    Returns:
+      (pred_px (P, 2), hit (P,) bool) — predicted displacement and
+      whether the chief ray intersects the volume AABB.
+    """
+    import jax.numpy as jnp
+
+    from photon_tpu.ops.interp import sample_trilinear, texture_lookup
+
+    inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float64)
+    rot = np.asarray(setup.rotation_matrix, np.float64)
+    shift = setup.z_offset + 750e3
+    xs = np.asarray(src.x, np.float64)
+    ys = np.asarray(src.y, np.float64)
+    zs = np.asarray(src.z, np.float64)
+    dden = setup.image_distance - zs
+    tx, ty = xs / dden, ys / dden
+    cinv = 1.0 / np.sqrt(tx ** 2 + ty ** 2 + 1.0)
+    dir_cam = np.stack([tx * cinv, ty * cinv, -cinv], -1)
+    pos_cam = np.stack([xs, ys, zs - shift], -1)
+    dw = dir_cam @ inv_rot.T
+    pw = pos_cam @ inv_rot.T
+
+    mn = np.asarray(vol.min_bound, np.float64)
+    mx = np.asarray(vol.max_bound, np.float64)
+    t1 = (mn - pw) / dw
+    t2 = (mx - pw) / dw
+    tn = np.minimum(t1, t2).max(1)
+    tf = np.maximum(t1, t2).min(1)
+    hit = tf > tn
+
+    S = int(samples)
+    P = xs.size
+    ts = tn[:, None] + (tf - tn)[:, None] * (np.arange(S)[None] + 0.5) / S
+    pts = pw[:, None, :] + dw[:, None, :] * ts[..., None]
+    field_flat = jnp.asarray(vol.field).reshape(-1, 4)
+    lk = texture_lookup(jnp.asarray(pts.reshape(-1, 3), jnp.float32),
+                        vol.min_bound, vol.max_bound, vol.sizes)
+    sm = np.asarray(sample_trilinear(field_flat, vol.sizes, lk)
+                    ).reshape(P, S, 4)
+    grad_int = sm[..., :3].sum(1) * ((tf - tn) / S)[:, None]
+    grad_int -= (grad_int * dw).sum(1, keepdims=True) * dw  # perp part
+    ddir_cam = grad_int @ rot.T                              # n0 ~ 1
+
+    volc_cam = ((mn + mx) / 2) @ rot.T
+    Z_D = zs - (volc_cam[2] + shift)
+    pred_px = (ddir_cam[:, :2] * Z_D[:, None] * setup.magnification
+               / cfg.camera_design.pixel_pitch)
+    pred_px[:, 0] *= -1.0  # sensor x mirror
+    return pred_px, hit
+
+
 def save_density_nrrd(path: str, rho: np.ndarray, x, y, z) -> None:
     """Write a density grid to NRRD with the reference's header layout
     (ref: synthetic_fields.save_nrrd:157-190)."""

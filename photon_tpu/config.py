@@ -142,6 +142,15 @@ class DensityGradients:
     add_ngrad_noise: bool = False
     ngrad_noise_std: float = 0.0             # 1/um
     interpolation_scheme: int = 1            # 1 trilinear | 2 tricubic B-spline
+    # NRRD z-origin shift into the marcher frame.  The reference
+    # hardcodes 750e3 (trace_rays_through_density_gradients.h:1704) but
+    # carries a commented-out `+ z_offset` variant on the same line
+    # while shifting RAYS by z_offset + 750e3 (parallel_ray_tracing.cu:
+    # 2045) — for lenses with large vertex offsets the two conventions
+    # place the volume differently relative to the dot plane.  None =
+    # the shipped 750e3; set to 750e3 + setup.z_offset to reproduce the
+    # commented variant (used by the general-lens sample-scene tests).
+    nrrd_z_origin_shift: Optional[float] = None
 
 
 @dataclass
@@ -218,6 +227,29 @@ class SimulationConfig:
         if "simulation_parameters" in d:
             d = d["simulation_parameters"]
         return cls.from_dict(d)
+
+    def to_mat(self, path: str) -> None:
+        """Write a reference-format MATLAB parameter file.
+
+        The field inventory matches the reference's nested parameter
+        struct (the dataclass fields use the reference's names), nested
+        under ``simulation_parameters`` like the sidecars the reference
+        writes next to every image (ref: run_simulation_02.py:1874-1879,
+        2094-2106) and its analysis tools load back
+        (light_ray_processing.py:539-551).  Round-trips through
+        :meth:`from_mat`.
+        """
+        import scipy.io as sio
+
+        def clean(v):
+            if isinstance(v, dict):
+                return {k: clean(x) for k, x in v.items() if x is not None}
+            if isinstance(v, bool):
+                return int(v)
+            return v
+
+        sio.savemat(path, {"simulation_parameters": clean(self.to_dict())},
+                    long_field_names=True)
 
 
 def default_config(simulation_type: str) -> SimulationConfig:

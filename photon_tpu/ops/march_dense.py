@@ -219,15 +219,17 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
             "this automatically)")
     import os
     if use_pallas_sampler and algorithm in (1, 2, 3) \
-            and w * h <= DENSE_MAX_SLAB \
+            and w * h <= DENSE_MAX_SLAB_PALLAS \
             and os.environ.get("PHOTON_FUSED_MARCH", "1") == "1":
-        # (slabs above 128x128 keep the per-stage sampler: the fused
-        # kernel's packed pair + bf16-split copies need ~4x the pair's
-        # VMEM, proven only up to 128x128 on v5e.  PHOTON_FUSED_MARCH=0
-        # falls back to the per-stage sampler.)
         # whole-march fused kernel: one pallas_call for all slabs x
         # stages, ray state in VMEM scratch, packed-K (2H) contraction
-        # (see ops.march_dense_fused; AB4 keeps the per-stage path)
+        # (see ops.march_dense_fused; AB4 keeps the per-stage path).
+        # The ray-block size shrinks with slab area (1024/512/256 at
+        # 64^2/128^2/256^2) to keep the pair + bf16-split copies inside
+        # VMEM.  PHOTON_FUSED_MARCH=0 falls back to the per-stage
+        # sampler — note the env var is read at TRACE time inside jitted
+        # callers, so toggling it after a first compilation requires
+        # jax.clear_caches() (bench.py does this on its fallback path).
         from photon_tpu.ops.march_dense_fused import march_chief_fused
         return march_chief_fused(
             vol, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,

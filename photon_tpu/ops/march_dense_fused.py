@@ -15,7 +15,11 @@ march — all slabs x all integrator stages — into ONE ``pallas_call``:
   whole BOS bench march, fully overlapped by Mosaic's double buffering).
 * the two half-depth interpolation matmuls of the per-stage kernel
   (lo @ wy0 + hi @ wy1, each K = H) pack into ONE full-depth MXU
-  contraction: pair (W*4, 2H) @ [wy0; wy1] (2H, B).  For the 64^3
+  contraction: pair (W*4, 2H) @ wy_cat (2H, B), with the lo/hi taps of
+  each depth row INTERLEAVED along the contraction axis (column
+  h*2 + {lo, hi}) so any contiguous y-window of the pair is a
+  contiguous column range (the windowed large-volume march in
+  ops.march_window slices such windows per ray block).  For the 64^3
   sample volume 2H = 128 exactly fills the systolic depth — twice the
   MXU utilization of the per-stage kernel.
 * the RK4/Euler combine runs on (1, B) rows in VMEM (VPU), not XLA.
@@ -25,17 +29,26 @@ matmul (march_dense_pallas._dot3) are bit-identical to the per-stage
 kernel, so the fused march matches march_chief_dense to float rounding;
 tests drive both (tests/test_dense_fused.py).
 
-Backward: the fused kernel carries a custom_vjp whose backward re-runs
-the march through the differentiable per-stage path (march_chief_dense
-with the sampler's hand-written cotangent kernels) — the same
-recompute-in-backward trade as jax.checkpoint, so gradients are
-identical to the unfused path's.
+Backward: a hand-written transpose kernel with RECOMPUTE-IN-BACKWARD —
+the march is z-reversible, so instead of saving the (G, S, 8, B)
+per-step trajectory (round-3 design: a ~200 MB HBM round-trip at bench
+scale) the backward kernel reconstructs each step's entry state by
+reverse-integrating the SAME RK4/Euler step from the exit state inside
+the VMEM register file, then replays the forward stages and their
+cotangents.  The reconstruction runs reverse-RK4 plus
+anisotropy-gated defect corrections against the discrete forward map
+(Euler: a 3-eval fixed-point inverse), driving the error far below the
+march's own discretization error; gradient parity vs the per-stage
+autodiff path is tested to ~1e-4 normalized on fine grids and ~5e-4 on
+adversarial coarse-z random fields.  Backward matmuls run single-pass bf16 (the
+linearization point moves by ~1e-7 voxel, far below weight curvature).
 
 Supported: algorithms 1 (Euler), 2 (RK4), 3 (RK4 x substeps; default 2),
 schemes 1 (trilinear) / 2 (tricubic B-spline over prefiltered
 coefficients).  AB4 (algorithm 4) keeps the per-stage path (its
 derivative history would add 15 scratch rows for a rarely-used
-integrator).
+integrator); algorithm 3's backward recomputes through the per-stage
+path.
 
 Reference parity: this is the production evaluation of the eikonal
 marcher C13 (SURVEY.md; trace_rays_through_density_gradients.h:1455-1544)
@@ -50,55 +63,114 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photon_tpu.ops.march_dense_pallas import (_dot3, _weights_T,
-                                               _weights_T_du)
+from photon_tpu.ops.march_dense_pallas import (_b3, _b3_d, _dot3,
+                                               _weights_T, _weights_T_du)
 
-_B = 1024          # rays per block (lane-major rows)
+# rays per block (lane-major rows).  Smaller blocks at larger slabs keep
+# the backward kernel's per-stage VJP transients (A_r, d_A, weight
+# matrices — all (·, B)) inside the 16 MB VMEM budget.
+_B_FOR_SLAB = ((64 * 64, 1024), (128 * 128, 512), (256 * 256, 256))
+
+# the fused backward holds two (G*8, B) scratch register files (primal
+# state + cotangent state); cap rays per kernel call so they stay ~4 MB
+_BWD_MAX_RAYS = 64 * 1024
+
+# slab-area ceiling for the fused backward kernel (beyond it gradients
+# recompute through the per-stage sampler path, proven to 256x256).
+# 64x64 @ B=1024 and 128x128 @ B=512 measured <16 MB scoped VMEM on
+# v5e; 256x256 @ B=256 pending TPU validation.
+_BWD_FUSED_MAX_SLAB = 128 * 128
+
+
+def block_size_for_slab(wh: int) -> int:
+    for cap, b in _B_FOR_SLAB:
+        if wh <= cap:
+            return b
+    return 256
+
+
+def bwd_block_size_for_slab(wh: int) -> int:
+    """Backward ray-block size: half the forward's (VMEM; see
+    _fused_march_bwd), floored at 128 lanes."""
+    return max(block_size_for_slab(wh) // 2, 128)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Interleaved z-blended y-weight rows
+# ---------------------------------------------------------------------------
+
+
+def _axis_kernel_vals(u_row, h_iota, n: int, scheme: int, deriv: bool):
+    """Kernel (or d/du) values for taps h_iota given coordinates u_row,
+    with the clip + border-fold semantics of march_dense._tri_weights /
+    _cubic_weights (h_iota: (rows, 1) f32 tap indices, possibly repeated
+    for the interleaved lo/hi layout)."""
+    if scheme == 2:
+        uc = jnp.clip(u_row, -2.0, jnp.float32(n) + 1.0)
+        fn = _b3_d if deriv else _b3
+        w = fn(uc - h_iota)
+        fold_l = fn(uc + 1.0) + fn(uc + 2.0) + fn(uc + 3.0)
+        fold_r = fn(uc - n) + fn(uc - (n + 1.0)) + fn(uc - (n + 2.0))
+        w = w + jnp.where(h_iota == 0.0, fold_l, 0.0) \
+            + jnp.where(h_iota == jnp.float32(n - 1), fold_r, 0.0)
+        if deriv:
+            w = w * ((u_row > -2.0) & (u_row < n + 1.0)).astype(jnp.float32)
+        return w
+    uc = jnp.clip(u_row, 0.0, n - 1.0)
+    diff = uc - h_iota
+    if deriv:
+        mask = ((u_row > 0.0) & (u_row < n - 1.0)).astype(jnp.float32)
+        live = (jnp.abs(diff) < 1.0).astype(jnp.float32)
+        return -jnp.sign(diff) * live * mask
+    return jnp.maximum(0.0, 1.0 - jnp.abs(diff))
+
+
+def _weights_zT(u_row, uz, n: int, scheme: int, kind: str = "w"):
+    """(2n, B) interleaved z-blended weight rows from (1, B) coordinates.
+
+    Row 2h + p = k(u - h) * zfac_p with zfac_0 = 1-uz (lo slab),
+    zfac_1 = uz (hi slab) — matching the interleaved pair layout of
+    :func:`pairs_packed`.  kind: 'w' the weights themselves, 'du' their
+    derivative w.r.t. u, 'dz' their derivative w.r.t. uz.
+    """
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 1), 0)
+    h = (io2 // 2).astype(jnp.float32)
+    part = (io2 % 2).astype(jnp.float32)           # 0 = lo, 1 = hi
+    vals = _axis_kernel_vals(u_row, h, n, scheme, deriv=(kind == "du"))
+    if kind == "dz":
+        zfac = 2.0 * part - 1.0
+    else:
+        zfac = (1.0 - part) + (2.0 * part - 1.0) * uz   # lo: 1-uz, hi: uz
+    return vals * zfac
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
 def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
-                  *, W: int, H: int, S: int, scheme: int, algorithm: int,
-                  substeps: int, traj_ref=None):
-    return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
-                              traj_ref, scratch, W=W, H=H, S=S,
-                              scheme=scheme, algorithm=algorithm,
-                              substeps=substeps)
-
-
-def _fused_kernel_traj(params_ref, state_ref, pair_ref, out_ref, traj_ref,
-                       scratch, *, W: int, H: int, S: int, scheme: int,
-                       algorithm: int, substeps: int):
-    return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
-                              traj_ref, scratch, W=W, H=H, S=S,
-                              scheme=scheme, algorithm=algorithm,
-                              substeps=substeps)
-
-
-def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
-                       scratch, *, W: int, H: int, S: int, scheme: int,
-                       algorithm: int, substeps: int):
+                  *, W: int, H: int, S: int, B: int, scheme: int,
+                  algorithm: int, substeps: int):
     """One (ray block g, slab s) grid step of the fused march.
 
     params_ref (SMEM, (8,)): min_x, min_y, sx, sy, z_min, dz_slab.
-    state_ref / out_ref: (1, 8, B) rows [x, y, z, Tx, Ty, Tz, inside, -].
-    pair_ref: (W*4, 2H) — slab pair s in the packed-K layout
-      [loT | hiT] along the contraction axis.
+    state_ref / out_ref: (1, 8, B) rows
+      [x, y, z, Tx, Ty, Tz, inside, z0] (z0 = entry z, carried through
+      unchanged — the backward kernel's analytic z reconstruction).
+    pair_ref: (W*4, 2H) — slab pair s in the packed-K interleaved layout
+      (column h*2 + {lo, hi}).
     scratch: (8, B) VMEM register file persisting across the slab axis.
-    traj_ref: optional (1, 1, 8, B) per-(g, s) output recording the state
-      at the ENTRY of step s — consumed by the fused backward kernel.
     """
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
         scratch[:] = state_ref[0]
-
-    if traj_ref is not None:
-        traj_ref[0, 0] = scratch[:]
 
     min_x = params_ref[0]
     min_y = params_ref[1]
@@ -128,11 +200,10 @@ def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
         ux = 0.5 + (px - min_x) / sx
         uy = 0.5 + (py - min_y) / sy
         wx = _weights_T(ux, W, scheme)                        # (W, B)
-        wy = _weights_T(uy, H, scheme)                        # (H, B)
-        wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
+        wy_cat = _weights_zT(uy, uz, H, scheme)               # (2H, B)
         dn = (((1,), (0,)), ((), ()))
         A = _dot3(pair_ref[0], wy_cat, dn)                    # (W*4, B)
-        s4 = jnp.sum(A.reshape(W, 4, _B) * wx[:, None, :], axis=0)
+        s4 = jnp.sum(A.reshape(W, 4, B) * wx[:, None, :], axis=0)
         gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
         inv_tz = 1.0 / tz
         g = (1.0 + nm1) * inv_tz
@@ -177,66 +248,56 @@ def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
         out_ref[0] = scratch[:]
 
 
-def _fused_call(static, params, state, pairs, save_traj: bool = False):
-    """state: (G, 8, B); pairs: (S, W*4, 2H); params: (8,) f32.
-
-    With ``save_traj`` also returns the (G, S, 8, B) per-step entry
-    states (the fused backward kernel's residual)."""
-    W, H, S, scheme, algorithm, substeps, interpret = static
+def _fused_call(static, params, state, pairs):
+    """state: (G, 8, B); pairs: (S, W*4, 2H); params: (8,) f32."""
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
     G = state.shape[0]
-    kw = dict(W=W, H=H, S=S, scheme=scheme, algorithm=algorithm,
-              substeps=substeps)
     kern = functools.partial(
-        _fused_kernel_traj if save_traj else _fused_kernel, **kw)
-    out_specs = pl.BlockSpec((1, 8, _B), lambda g, s: (g, 0, 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((G, 8, _B), jnp.float32)
-    if save_traj:
-        out_specs = [out_specs,
-                     pl.BlockSpec((1, 1, 8, _B), lambda g, s: (g, s, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((G, S, 8, _B), jnp.float32)]
+        _fused_kernel, W=W, H=H, S=S, B=B, scheme=scheme,
+        algorithm=algorithm, substeps=substeps)
     return pl.pallas_call(
         kern,
         grid=(G, S),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, _B), lambda g, s: (g, 0, 0),
+            pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W * 4, 2 * H), lambda g, s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((8, _B), jnp.float32)],
+        out_specs=pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.float32)],
         interpret=interpret,
     )(params, state, pairs)
 
 
 # ---------------------------------------------------------------------------
-# Fused backward kernel: hand-written RK4/Euler transpose over the slab scan
+# Fused backward kernel: reverse re-march + hand-written RK4/Euler transpose
 # ---------------------------------------------------------------------------
 
 
-def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
-                      dpair_ref, dstate_ref, ct_scratch,
-                      *, W: int, H: int, S: int, G: int, scheme: int,
-                      algorithm: int):
+def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
+                      dpair_ref, dstate_ref, prim_scratch, ct_scratch, sem,
+                      *, W: int, H: int, S: int, G: int, B: int,
+                      scheme: int, algorithm: int, defect_iters: int):
     """One (reversed slab si, ray block g) step of the fused backward.
 
     Grid is (S, G) with the slab axis OUTER (reversed: forward step
     s = S-1-si) so the d_pair output block for step s stays resident in
     VMEM while the inner g loop accumulates every ray block's
-    contribution; the per-block cotangent state lives in the
-    (G*8, B) scratch across the whole sweep.
+    contribution.  Two (G*8, B) VMEM register files persist across the
+    whole sweep: the PRIMAL state (reverse-reconstructed, walking the
+    march backward from its saved exit state) and the cotangent state.
 
-    traj_ref: (1, 1, 8, B) — the forward ENTRY state of step s for
-    block g (saved by the forward kernel).  ct_in_ref: the upstream
-    cotangent of the final state.  dstate_ref receives the cotangent of
-    the march's entry state on the last sweep.  Gradients w.r.t. the
-    geometry scalars in params are NOT produced (zeros) — volume bounds
-    are never optimization variables here.
+    out_ref / ct_in_ref / dstate_ref live in ANY (HBM) space and are
+    touched only by explicit DMA at the sweep edges — a BlockSpec'd
+    input would re-fetch each (8, B) block every slab, which is exactly
+    the (G, S, 8, B) residual traffic this design removes.
+
+    Gradients w.r.t. the geometry scalars in params are NOT produced
+    (zeros) — volume bounds are never optimization variables here.
     """
     si = pl.program_id(0)
     g = pl.program_id(1)
@@ -251,21 +312,34 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
     # forward step s = S-1-si lands on plane index ks = si
     ks = si.astype(jnp.float32)
     z_plane = jnp.maximum(z_min + (ks - 0.5) * dz_slab, z_min)
+    # the previous landing plane (entry ceiling); for the first forward
+    # step (si = S-1) this sits half a voxel above z_max, so the min()
+    # with z0 below needs no special case
+    plane_prev = z_min + (ks + 0.5) * dz_slab
 
     @pl.when(si == 0)
     def _():
-        ct_scratch[pl.ds(g * 8, 8)] = ct_in_ref[0]
+        ld1 = pltpu.make_async_copy(out_ref.at[g],
+                                    prim_scratch.at[pl.ds(g * 8, 8)], sem)
+        ld1.start()
+        ld1.wait()
+        ld2 = pltpu.make_async_copy(ct_in_ref.at[g],
+                                    ct_scratch.at[pl.ds(g * 8, 8)], sem)
+        ld2.start()
+        ld2.wait()
 
     @pl.when(g == 0)
     def _():
         dpair_ref[:] = jnp.zeros_like(dpair_ref)
 
-    row = traj_ref[0, 0]                   # (8, B) entry state of step s
-    x, y, z = row[0:1], row[1:2], row[2:3]
-    Tx, Ty, Tz = row[3:4], row[4:5], row[5:6]
-    inside = row[6:7]
-    in_band = (inside > 0.0) & (z > z_plane)
-    h = z_plane - z                        # hstep
+    prim = prim_scratch[pl.ds(g * 8, 8)]   # (8, B) exit state of step s
+    x, y = prim[0:1], prim[1:2]
+    Tx, Ty, Tz = prim[3:4], prim[4:5], prim[5:6]
+    inside = prim[6:7]
+    z0 = prim[7:8]                         # march entry z (invariant row)
+    z_entry = jnp.minimum(z0, plane_prev)
+    in_band = (inside > 0.0) & (z_entry > z_plane)
+    h = z_plane - z_entry                  # forward hstep (negative)
 
     ct = ct_scratch[pl.ds(g * 8, 8)]       # (8, B)
     ct_x, ct_y, ct_z = ct[0:1], ct[1:2], ct[2:3]
@@ -280,31 +354,79 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
     dn_ctp = (((1,), (1,)), ((), ()))      # d_A (W4, B) x wy_cat (2H, B)
     dn_dwy = (((0,), (0,)), ((), ()))      # pair (W4, 2H) x d_A (W4, B)
 
-    def f(st, z_at):
-        """Stage RHS with the 3-pass split matmul (the recomputed primal
-        trajectory must match the forward kernel's accuracy).  Returns
-        k plus the sampled channels the VJP reuses; the weight matrices
-        are NOT cached — keeping 4 stages of (W, B)/(2H, B) live was a
-        measured VMEM OOM, so vjp_f rebuilds them (~15% extra flops)."""
-        px, py, tx, ty, tz = st
+    def dot1(a, b, dn):
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32)
+
+    def rhs(px, py, tx, ty, tz, z_at):
+        """Single-pass stage RHS used for the reverse reconstruction and
+        the forward-stage replay.  1/tz is gated so out-of-band rays
+        (whose register rows may hold pass-through states with tz ~ 0)
+        cannot poison the shared matmul inputs with inf/NaN."""
         uz = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
         ux = 0.5 + (px - min_x) / sx
         uy = 0.5 + (py - min_y) / sy
         wx = _weights_T(ux, W, scheme)
-        wy = _weights_T(uy, H, scheme)
-        wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
-        A = _dot3(pair_ref[0], wy_cat, dn_fwd)
-        A_r = A.reshape(W, 4, _B)
-        s4 = jnp.sum(A_r * wx[:, None, :], axis=0)        # (4, B)
+        wy_cat = _weights_zT(uy, uz, H, scheme)
+        A = dot1(pair_ref[0], wy_cat, dn_fwd)
+        s4 = jnp.sum(A.reshape(W, 4, B) * wx[:, None, :], axis=0)
         gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
-        inv = 1.0 / tz
+        inv = jnp.where(in_band, 1.0 / tz, 0.0)
         gfac = (1.0 + nm1) * inv
         k = (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
         return k, (gx, gy, gz, nm1, inv, gfac)
 
+    def add5(a, c, b):
+        return tuple(ai + c * bi for ai, bi in zip(a, b))
+
+    def dot5(a, b):
+        return sum(ai * bi for ai, bi in zip(a, b))
+
+    def rk4(st, hh, z_at):
+        k1, _ = rhs(*st, z_at)
+        h2 = hh / 2.0
+        k2, _ = rhs(*add5(st, h2, k1), z_at + h2)
+        k3, _ = rhs(*add5(st, h2, k2), z_at + h2)
+        k4, _ = rhs(*add5(st, hh, k3), z_at + hh)
+        return tuple(v + hh / 6.0 * (a + 2 * b + 2 * c + d)
+                     for v, a, b, c, d in zip(st, k1, k2, k3, k4))
+
+    # ---- reverse reconstruction: exit state -> entry state ------------
+    st_exit = (x, y, Tx, Ty, Tz)
+    if algorithm == 1:
+        # 3-iteration fixed-point inverse of the forward Euler step
+        # (entry = exit - h k(entry)): O(h^4) local error, well below
+        # the forward Euler's own O(h^2)
+        k_e, _ = rhs(*st_exit, z_plane)
+        guess = add5(st_exit, -h, k_e)
+        for _ in range(2):
+            k_g, _ = rhs(*guess, z_entry)
+            guess = add5(st_exit, -h, k_g)
+        st_rec = guess
+    else:
+        # reverse RK4 (step -h from the landing plane), then
+        # ``defect_iters`` defect corrections against the DISCRETE
+        # forward map (e <- e - (F(e) - exit)): each contracts toward
+        # the exact forward-step preimage, killing both the reverse
+        # truncation AND the forward map's own O(h^5) flow deviation.
+        # The count is chosen statically from the grid's z/lateral
+        # anisotropy (march_chief_fused): fine-z grids (the 64^3 bench:
+        # ratio 1.7) measure ~5e-7 normalized gradient error with 0
+        # iterations, while a 5-slab grid spanning ~60 lateral voxels
+        # per step needs 3 (1.2e-2 -> 8e-4 measured on white-noise rho)
+        st_rec = rk4(st_exit, -h, z_plane)
+        for _ in range(defect_iters):
+            fwd_rec = rk4(st_rec, h, z_entry)
+            st_rec = tuple(e - (f - x)
+                           for e, f, x in zip(st_rec, fwd_rec, st_exit))
+    s1 = tuple(jnp.where(in_band, r, v)
+               for r, v in zip(st_rec, st_exit))
+
+    # ---- replay the forward stages from the reconstructed entry -------
     def vjp_f(st, z_at, cache, d5):
         """Cotangents of one stage sample; recomputes the weight
-        matrices and the (single-pass) contraction in place."""
+        matrices and the contraction in place (keeping 4 stages of
+        (W, B)/(2H, B) matrices live was a measured VMEM OOM)."""
         px, py, tx, ty, tz = st
         gx, gy, gz, nm1, inv, gfac = cache
         uz_raw = (z_at - z_plane) / dz_slab
@@ -312,11 +434,8 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
         ux = 0.5 + (px - min_x) / sx
         uy = 0.5 + (py - min_y) / sy
         wx = _weights_T(ux, W, scheme)
-        wy = _weights_T(uy, H, scheme)
-        wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
-        A_r = jax.lax.dot_general(
-            pair_ref[0], wy_cat, dn_fwd,
-            preferred_element_type=jnp.float32).reshape(W, 4, _B)
+        wy_cat = _weights_zT(uy, uz, H, scheme)
+        A_r = dot1(pair_ref[0], wy_cat, dn_fwd).reshape(W, 4, B)
         d0, d1, d2, d3, d4 = d5
         d_gx = d2 * gfac
         d_gy = d3 * gfac
@@ -328,48 +447,38 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
         d_ty = d1 * inv
         d_tz = -(inv * inv) * d_inv
         d_s4 = jnp.concatenate([d_gx, d_gy, d_gz, d_nm1], axis=0)  # (4, B)
-        d_A = (wx[:, None, :] * d_s4[None]).reshape(W * 4, _B)
+        d_A = (wx[:, None, :] * d_s4[None]).reshape(W * 4, B)
         d_wx = jnp.sum(A_r * d_s4[None], axis=1)          # (W, B)
         d_ux = jnp.sum(d_wx * _weights_T_du(ux, W, scheme),
                        axis=0, keepdims=True)
-        ct_pair = jax.lax.dot_general(d_A, wy_cat, dn_ctp,
-                                      preferred_element_type=jnp.float32)
-        d_wy_cat = jax.lax.dot_general(pair_ref[0], d_A, dn_dwy,
-                                       preferred_element_type=jnp.float32)
-        d_wy = d_wy_cat[:H] * (1.0 - uz) + d_wy_cat[H:] * uz
-        d_uz = jnp.sum(wy * (d_wy_cat[H:] - d_wy_cat[:H]),
+        ct_pair = dot1(d_A, wy_cat, dn_ctp)
+        d_wy_cat = dot1(pair_ref[0], d_A, dn_dwy)          # (2H, B)
+        d_uy = jnp.sum(d_wy_cat * _weights_zT(uy, uz, H, scheme, "du"),
                        axis=0, keepdims=True)
-        d_uy = jnp.sum(d_wy * _weights_T_du(uy, H, scheme),
+        d_uz = jnp.sum(d_wy_cat * _weights_zT(uy, uz, H, scheme, "dz"),
                        axis=0, keepdims=True)
         mask = ((uz_raw >= 0.0) & (uz_raw <= 1.0)).astype(jnp.float32)
         d_z_at = d_uz * mask / dz_slab
         d_state = (d_ux / sx, d_uy / sy, d_tx, d_ty, d_tz)
         return d_state, d_z_at, ct_pair
 
-    def add5(a, c, b):
-        return tuple(ai + c * bi for ai, bi in zip(a, b))
-
-    def dot5(a, b):
-        return sum(ai * bi for ai, bi in zip(a, b))
-
-    s1 = (x, y, Tx, Ty, Tz)
     if algorithm == 1:
-        k1, c1 = f(s1, z)
+        k1, c1 = rhs(*s1, z_entry)
         d_st = d_new
         d_h = dot5(d_new, k1)
         d_k1 = tuple(h * d for d in d_new)
-        v1, d_z1, ctp = vjp_f(s1, z, c1, d_k1)
+        v1, d_z1, ctp = vjp_f(s1, z_entry, c1, d_k1)
         d_st = add5(d_st, 1.0, v1)
         d_z = d_z1 - d_h
     else:
         h2 = h / 2.0
-        k1, c1 = f(s1, z)
+        k1, c1 = rhs(*s1, z_entry)
         s2 = add5(s1, h2, k1)
-        k2, c2 = f(s2, z + h2)
+        k2, c2 = rhs(*s2, z_entry + h2)
         s3 = add5(s1, h2, k2)
-        k3, c3 = f(s3, z + h2)
+        k3, c3 = rhs(*s3, z_entry + h2)
         s4 = add5(s1, h, k3)
-        k4, c4 = f(s4, z + h)
+        k4, c4 = rhs(*s4, z_entry + h)
 
         combo = tuple(a + 2.0 * b + 2.0 * c + d
                       for a, b, c, d in zip(k1, k2, k3, k4))
@@ -378,33 +487,38 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
         d_z = zero
 
         d_k4 = tuple((h / 6.0) * d for d in d_new)
-        v4, d_z4, ctp4 = vjp_f(s4, z + h, c4, d_k4)
+        v4, d_z4, ctp4 = vjp_f(s4, z_entry + h, c4, d_k4)
         d_st = add5(d_st, 1.0, v4)
         d_h = d_h + dot5(v4, k3) + d_z4
         d_z = d_z + d_z4
         d_k3 = add5(tuple((h / 3.0) * d for d in d_new), h, v4)
 
-        v3, d_z3, ctp3 = vjp_f(s3, z + h2, c3, d_k3)
+        v3, d_z3, ctp3 = vjp_f(s3, z_entry + h2, c3, d_k3)
         d_st = add5(d_st, 1.0, v3)
         d_h = d_h + 0.5 * dot5(v3, k2) + 0.5 * d_z3
         d_z = d_z + d_z3
         d_k2 = add5(tuple((h / 3.0) * d for d in d_new), h2, v3)
 
-        v2, d_z2, ctp2 = vjp_f(s2, z + h2, c2, d_k2)
+        v2, d_z2, ctp2 = vjp_f(s2, z_entry + h2, c2, d_k2)
         d_st = add5(d_st, 1.0, v2)
         d_h = d_h + 0.5 * dot5(v2, k1) + 0.5 * d_z2
         d_z = d_z + d_z2
         d_k1 = add5(tuple((h / 6.0) * d for d in d_new), h2, v2)
 
-        v1, d_z1, ctp1 = vjp_f(s1, z, c1, d_k1)
+        v1, d_z1, ctp1 = vjp_f(s1, z_entry, c1, d_k1)
         d_st = add5(d_st, 1.0, v1)
         d_z = d_z + d_z1
-        d_z = d_z - d_h                     # h = z_plane - z
+        d_z = d_z - d_h                     # h = z_plane - z_entry
         ctp = ctp1 + ctp2 + ctp3 + ctp4
 
     dpair_ref[:] += ctp[None]
 
     sel = in_band
+    new_prim = jnp.concatenate([
+        s1[0], s1[1], jnp.where(sel, z_entry, prim[2:3]),
+        s1[2], s1[3], s1[4], inside, z0], axis=0)
+    prim_scratch[pl.ds(g * 8, 8)] = new_prim
+
     new_ct = jnp.concatenate([
         jnp.where(sel, d_st[0], ct_x), jnp.where(sel, d_st[1], ct_y),
         jnp.where(sel, d_z, ct_z), jnp.where(sel, d_st[2], ct_Tx),
@@ -414,80 +528,62 @@ def _bwd_fused_kernel(params_ref, traj_ref, pair_ref, ct_in_ref,
 
     @pl.when(si == S - 1)
     def _():
-        dstate_ref[0] = new_ct
+        stc = pltpu.make_async_copy(ct_scratch.at[pl.ds(g * 8, 8)],
+                                    dstate_ref.at[g], sem)
+        stc.start()
+        stc.wait()
 
 
-def _bwd_fused_call(static, params, traj, pairs, ct_out):
-    W, H, S, scheme, algorithm, substeps, interpret = static
-    G = traj.shape[0]
-    kern = functools.partial(_bwd_fused_kernel, W=W, H=H, S=S, G=G,
-                             scheme=scheme, algorithm=algorithm)
+def _bwd_fused_call(static, params, out, pairs, ct_out):
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    G = out.shape[0]
+    kern = functools.partial(_bwd_fused_kernel, W=W, H=H, S=S, G=G, B=B,
+                             scheme=scheme, algorithm=algorithm,
+                             defect_iters=defect_iters)
     dpairs, dstate = pl.pallas_call(
         kern,
         grid=(S, G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8, _B), lambda si, g: (g, S - 1 - si, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, W * 4, 2 * H),
                          lambda si, g: (S - 1 - si, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _B), lambda si, g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, W * 4, 2 * H),
                          lambda si, g: (S - 1 - si, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _B), lambda si, g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((S, W * 4, 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((G, 8, _B), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * 8, _B), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G * 8, B), jnp.float32),
+                        pltpu.VMEM((G * 8, B), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(params, traj, pairs, ct_out)
+    )(params, out, pairs, ct_out)
     return dpairs, dstate
-
-
-# a (G*8, B) cotangent scratch at G blocks of 1024 rays: cap the fused
-# backward at 128 blocks (4 MB scratch); larger marches are chunked by
-# march_chief_fused (direct callers beyond the cap fall back to the
-# per-stage recompute path)
-_BWD_MAX_G = 128
-
-# the backward kernel's per-stage VJP transients (A_r, d_A, weight
-# matrices, bf16 matmul copies) scale with the slab area; 64x64 slabs
-# measure ~14 MB scoped VMEM (fits), 128x128 measured 23.5 MB (OOM on
-# v5e's 16 MB budget) — above this cap the backward recomputes through
-# the per-stage sampler path instead (proven to 256x256)
-_BWD_FUSED_MAX_SLAB = 64 * 64
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_march(static, params, state, pairs, field):
-    """field rides along purely for the backward re-march (unused fwd)."""
+    """field rides along purely for the backward fallback (unused fwd)."""
     del field
     return _fused_call(static, params, state, pairs)
 
 
 def _fused_march_fwd(static, params, state, pairs, field):
-    W, H, S, scheme, algorithm, substeps, interpret = static
-    G = state.shape[0]
-    if algorithm in (1, 2) and substeps == 1 and G <= _BWD_MAX_G \
-            and W * H <= _BWD_FUSED_MAX_SLAB:
-        out, traj = _fused_call(static, params, state, pairs,
-                                save_traj=True)
-        return out, (params, traj, pairs, None, field)
-    return _fused_call(static, params, state, pairs), \
-        (params, None, None, state, field)
+    out = _fused_call(static, params, state, pairs)
+    return out, (params, out, state, pairs, field)
 
 
 def _fused_march_bwd(static, res, ct):
-    """Backward dispatch: the fused cotangent kernel when the forward
-    saved its trajectory (Euler/RK4, single substep); otherwise a
+    """Backward dispatch: the reverse-re-march cotangent kernel for
+    Euler/RK4 (single substep) inside the VMEM slab cap; otherwise a
     recompute through the differentiable per-stage path.
 
     Either way the ``pairs``/``field`` split is the same: the total
@@ -495,10 +591,34 @@ def _fused_march_bwd(static, res, ct):
     and each path routes the whole gradient through exactly one of the
     two.  Gradients w.r.t. the geometry scalars in params are zero on
     the fused path (volume bounds are never optimization variables)."""
-    W, H, S, scheme, algorithm, substeps, interpret = static
-    params, traj, pairs, state, field = res
-    if traj is not None:
-        d_pairs, d_state = _bwd_fused_call(static, params, traj, pairs, ct)
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    params, out, state, pairs, field = res
+    if algorithm in (1, 2) and substeps == 1 \
+            and W * H <= _BWD_FUSED_MAX_SLAB:
+        # the backward runs at HALF the forward's ray-block size: its
+        # per-stage transients (A, d_A, weight matrices, the reverse
+        # re-march evals — all (., B)) measured 18.5 MB scoped VMEM at
+        # B=1024 on 64^2 slabs (limit 16 MB); halving B halves them
+        # while the forward keeps its proven faster block size.  The
+        # re-block is a pure relabeling of ray slots, inverted on
+        # d_state below.
+        bwd_B = bwd_block_size_for_slab(W * H)
+        f = B // bwd_B
+        if f > 1:
+            def reblock(a):
+                g0 = a.shape[0]
+                return jnp.transpose(a.reshape(g0, 8, f, bwd_B),
+                                     (0, 2, 1, 3)).reshape(g0 * f, 8, bwd_B)
+            static_b = static[:7] + (bwd_B, defect_iters)
+            d_pairs, d_state_b = _bwd_fused_call(
+                static_b, params, reblock(out), pairs, reblock(ct))
+            g0 = out.shape[0]
+            d_state = jnp.transpose(
+                d_state_b.reshape(g0, f, 8, bwd_B),
+                (0, 2, 1, 3)).reshape(g0, 8, B)
+        else:
+            d_pairs, d_state = _bwd_fused_call(static, params, out, pairs,
+                                               ct)
         return (jnp.zeros_like(params), d_state, d_pairs,
                 jnp.zeros_like(field))
 
@@ -514,7 +634,7 @@ def _fused_march_bwd(static, res, ct):
 def _unfused_equivalent(static, params, state, field):
     """The fused kernel's math, expressed through the per-stage sampler
     (march_dense's scan body) — used only for the backward recompute."""
-    W, H, S, scheme, algorithm, substeps, interpret = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
     from photon_tpu.ops.march_dense_pallas import (dense_slab_sample,
                                                    pairs_transposed)
 
@@ -582,7 +702,7 @@ def _unfused_equivalent(static, params, state, field):
                             ((lo_T, hi_T), z_planes))
     x, y, z, Tx, Ty, Tz = carry
     out = jnp.stack([x, y, z, Tx, Ty, Tz, inside, rows[7]], axis=0)
-    return jnp.transpose(out.reshape(8, G, _B), (1, 0, 2))
+    return jnp.transpose(out.reshape(8, G, B), (1, 0, 2))
 
 
 _fused_march.defvjp(_fused_march_fwd, _fused_march_bwd)
@@ -591,13 +711,15 @@ _fused_march.defvjp(_fused_march_fwd, _fused_march_bwd)
 def pairs_packed(field):
     """(D, H, W, 4) field -> (S, W*4, 2H) packed-K slab pairs, top-down.
 
-    Row r = w * 4 + c holds channel c of column w; the 2H contraction
-    axis is [lo slab | hi slab]."""
+    Row r = w * 4 + c holds channel c of column w; contraction column
+    2h + p interleaves the lo (p = 0) and hi (p = 1) slab taps of depth
+    row h, so any contiguous y-window is a contiguous column range."""
     d, h, w, _ = field.shape
     f = jnp.transpose(field, (0, 2, 3, 1))           # (D, W, 4, H)
-    lo = jnp.flip(f[:-1], axis=0).reshape(d - 1, w * 4, h)
-    hi = jnp.flip(f[1:], axis=0).reshape(d - 1, w * 4, h)
-    return jnp.concatenate([lo, hi], axis=2)
+    lo = jnp.flip(f[:-1], axis=0)
+    hi = jnp.flip(f[1:], axis=0)
+    pair = jnp.stack([lo, hi], axis=-1)              # (S, W, 4, H, 2)
+    return pair.reshape(d - 1, w * 4, 2 * h)
 
 
 def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
@@ -608,7 +730,7 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
     Same contract: (P,) chief states in, (x, y, z, dirx, diry, dirz)
     after traversal out; rays missing the volume pass through unchanged.
     Gradients flow to ``field`` and the ray states via the custom_vjp
-    recompute path.
+    reverse-re-march kernel (Euler/RK4) or the per-stage recompute.
     """
     from photon_tpu.ops.march_dense import bspline_prefilter_jax
 
@@ -620,6 +742,7 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
     if interpolation_scheme == 2:
         field = bspline_prefilter_jax(field)
 
+    B = block_size_for_slab(w * h)
     sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
     sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
     z_max = vol.max_bound[2]
@@ -641,8 +764,8 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
     Tz = n0 * dcz
 
     P = x.shape[0]
-    G = -(-P // _B)
-    pad = G * _B - P
+    G = -(-P // B)
+    pad = G * B - P
 
     def padr(a, fill=0.0):
         a = a.astype(jnp.float32)
@@ -652,9 +775,9 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
 
     state = jnp.stack([
         padr(x), padr(y), padr(z), padr(Tx), padr(Ty), padr(Tz, -1.0),
-        padr(inside.astype(jnp.float32)), jnp.zeros((G * _B,), jnp.float32),
+        padr(inside.astype(jnp.float32)), padr(z),   # row 7: entry z
     ], axis=0)                                        # (8, G*B)
-    state = jnp.transpose(state.reshape(8, G, _B), (1, 0, 2))
+    state = jnp.transpose(state.reshape(8, G, B), (1, 0, 2))
 
     params = jnp.stack([
         jnp.float32(vol.min_bound[0]), jnp.float32(vol.min_bound[1]),
@@ -665,21 +788,33 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
     if substeps is None:
         substeps = 2 if algorithm == 3 else 1
     substeps = max(1, int(substeps))
+    # backward-reconstruction defect iterations, chosen from the grid's
+    # static z/lateral anisotropy: each z step spans ~ratio lateral
+    # voxels, which sets the reverse-step truncation (see the kernel's
+    # reconstruction comment for the measured error ladder)
+    try:
+        ratio = float(dz_slab) / max(min(float(sx), float(sy)), 1e-30)
+        defect_iters = 0 if ratio <= 4.0 else (1 if ratio <= 16.0 else 3)
+    except jax.errors.ConcretizationTypeError:
+        # volume bounds are traced (e.g. closure-captured under
+        # shard_map): geometry unknown at trace time — take the
+        # accurate-everywhere setting
+        defect_iters = 3
     static = (w, h, d - 1, int(interpolation_scheme), int(algorithm),
-              substeps, bool(interpret))
+              substeps, bool(interpret), B, defect_iters)
 
-    if G <= _BWD_MAX_G:
+    max_g = max(1, _BWD_MAX_RAYS // B)
+    if G <= max_g:
         out = _fused_march(static, params, state, pairs, field)
     else:
         # block-chunk huge marches so every chunk stays inside the fused
-        # backward's (G*8, B) cotangent-scratch budget (the per-chunk
+        # backward's two (G*8, B) scratch register files (the per-chunk
         # d_pairs/d_field cotangents sum in the outer graph)
         outs = [
-            _fused_march(static, params, state[i:i + _BWD_MAX_G], pairs,
-                         field)
-            for i in range(0, G, _BWD_MAX_G)]
+            _fused_march(static, params, state[i:i + max_g], pairs, field)
+            for i in range(0, G, max_g)]
         out = jnp.concatenate(outs, axis=0)              # (G, 8, B)
-    rows = jnp.transpose(out, (1, 0, 2)).reshape(8, G * _B)[:, :P]
+    rows = jnp.transpose(out, (1, 0, 2)).reshape(8, G * B)[:, :P]
     x, y, z, Tx, Ty, Tz = (rows[i] for i in range(6))
 
     Tn = jnp.sqrt(Tx * Tx + Ty * Ty + Tz * Tz)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -181,7 +182,7 @@ _particle_splat_fused.defvjp(_particle_splat_fused_fwd,
 def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
                    diameter: float, patch: int = 12,
                    render_fraction: float = 0.75,
-                   use_pallas: bool = None):
+                   use_pallas: Optional[bool] = None):
     """One erf spot per *particle* at its amplitude-weighted ray centroid.
 
     Valid whenever a particle's rays land within a small fraction of a
@@ -207,6 +208,15 @@ def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
         particles with no surviving rays.
     """
     K = patch
+    # the bounds-free clamp above is only sound when the circular render
+    # mask fits the patch; render_image_fast's auto patch guarantees it,
+    # a caller passing a small explicit patch with a large diameter must
+    # fail loudly rather than silently changing edge-particle deposits
+    if render_fraction * diameter > (K - 1) / 2:
+        raise ValueError(
+            f"patch={K} cannot contain the circular render mask "
+            f"(render_fraction * diameter = {render_fraction * diameter}"
+            f" > (patch-1)/2); enlarge patch")
     col0 = jnp.clip(pred_col - K // 2, 0, max(nx - K, 0))
     row0 = jnp.clip(pred_row - K // 2, 0, max(ny - K, 0))
     safe = jnp.isfinite(Xbar) & jnp.isfinite(Ybar) & (A > 0)
@@ -218,6 +228,9 @@ def particle_splat(Xbar, Ybar, A, pred_col, pred_row, *, nx: int, ny: int,
     if use_pallas is None:
         import os
         from photon_tpu.ops.splat_pallas import splat_supported
+        # PHOTON_FUSED_SPLAT is read at TRACE time inside jitted
+        # callers: toggling it after a first compilation requires
+        # jax.clear_caches() (bench.py's fallback path does this)
         use_pallas = (jax.default_backend() == "tpu"
                       and splat_supported(K, ny, nx)
                       and os.environ.get("PHOTON_FUSED_SPLAT", "1") == "1")

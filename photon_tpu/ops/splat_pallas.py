@@ -20,8 +20,9 @@ whole weights -> patch -> scatter chain for the per-particle
 Anchors are pre-clamped fully inside the frame (particle_splat does
 this): erf weights depend only on ``pixel - center``, so shifting the
 window never changes a visible pixel's value, and the circular mask
-zeroes anything the shift exposes — bit-identical images to the XLA
-path (tests/test_splat_pallas.py).
+zeroes anything the shift exposes — matching the XLA path to float32
+rounding (tests/test_splat_pallas.py compares at ~1e-6 relative; the
+erf approximation below keeps the kernel inside that budget).
 
 erf inside the kernel uses the Abramowitz–Stegun 7.1.26 rational
 approximation (|err| < 1.5e-7, i.e. float32 noise) — elementwise-exact

@@ -132,6 +132,12 @@ def _render(cfg: SimulationConfig, setup: CameraSetup, source, r1, r2,
                         noise_seed=noise_seed)
 
 
+def _z_shift_kw(cfg: SimulationConfig) -> dict:
+    """NRRD z-origin shift override (see DensityGradients.nrrd_z_origin_shift)."""
+    s = cfg.density_gradients.nrrd_z_origin_shift
+    return {} if s is None else {"z_origin_shift": float(s)}
+
+
 def _march_fn_for(cfg: SimulationConfig, enable: bool):
     """Build the density-gradient marching stage, or None."""
     if not enable:
@@ -141,7 +147,8 @@ def _march_fn_for(cfg: SimulationConfig, enable: bool):
 
     vol = load_density_volume(
         cfg.density_gradients.density_gradient_filename,
-        gladstone_dale=cfg.density_gradients.gladstone_dale)
+        gladstone_dale=cfg.density_gradients.gladstone_dale,
+        **_z_shift_kw(cfg))
     return make_march_fn(
         vol,
         algorithm=int(cfg.density_gradients.ray_tracing_algorithm),
@@ -175,7 +182,8 @@ def run_bos(cfg: SimulationConfig,
         with timer.phase("volume"):
             vol = load_density_volume(
                 cfg.density_gradients.density_gradient_filename,
-                gladstone_dale=cfg.density_gradients.gladstone_dale)
+                gladstone_dale=cfg.density_gradients.gladstone_dale,
+                **_z_shift_kw(cfg))
     fast_ok = can_use_fast_renderer(cfg, setup, vol=vol)
 
     images, raws = {}, {}
@@ -244,11 +252,22 @@ def _save_lightrays(cfg: SimulationConfig, setup: CameraSetup, source,
     os.makedirs(pos_dir, exist_ok=True)
     os.makedirs(dir_dir, exist_ok=True)
     n_save = int(cfg.output_data.num_lightrays_save) or rays.pos.shape[0]
-    # the reference writes pos and dir bins to separate directories
-    np.asarray(rays.pos)[:n_save].astype(np.float32).tofile(
-        os.path.join(pos_dir, "pos_0000.bin"))
-    np.asarray(rays.dir)[:n_save].astype(np.float32).tofile(
-        os.path.join(dir_dir, "dir_0000.bin"))
+    # the reference writes pos and dir bins to separate directories, ONE
+    # FILE PER PARTICLE CHUNK (pos_%04d.bin for each KMAX-particle batch,
+    # ref: parallel_ray_tracing.cu:3561-3670); mirror that layout using
+    # the same ray-budget chunking the renderer applies, so consumers
+    # that glob the numbered series see the reference's artifact shape
+    # (analysis.light_rays.load_ray_data concatenates the series).
+    R = max(1, int(source.lightray_number_per_particle))
+    ppc = max(1, _ray_budget(cfg) // R)
+    chunk_rays = ppc * R
+    pos = np.asarray(rays.pos)[:n_save].astype(np.float32)
+    dirs = np.asarray(rays.dir)[:n_save].astype(np.float32)
+    n_chunks = max(1, -(-pos.shape[0] // chunk_rays))
+    for c in range(n_chunks):
+        sl = slice(c * chunk_rays, (c + 1) * chunk_rays)
+        pos[sl].tofile(os.path.join(pos_dir, f"pos_{c:04d}.bin"))
+        dirs[sl].tofile(os.path.join(dir_dir, f"dir_{c:04d}.bin"))
 
     if cfg.output_data.save_intermediate_ray_data and vol is not None:
         _save_intermediate_rays(cfg, setup, source, r1, r2, vol,
@@ -323,7 +342,8 @@ def run_piv(cfg: SimulationConfig,
         from photon_tpu.volume import load_density_volume
         vol = load_density_volume(
             cfg.density_gradients.density_gradient_filename,
-            gladstone_dale=cfg.density_gradients.gladstone_dale)
+            gladstone_dale=cfg.density_gradients.gladstone_dale,
+            **_z_shift_kw(cfg))
 
     images, raws, sources = {}, {}, {}
     key = jax.random.key(cfg.seed + 7)
@@ -398,9 +418,13 @@ def save_result(cfg: SimulationConfig, result: SimulationResult,
 
     Directory layout mirrors the reference: ``tif/`` and ``raw/``
     subdirectories plus ``parameters``/``positions`` metadata
-    (ref: run_simulation_02.py:1764-1771, 2048-2106); parameters are saved
-    as JSON rather than .mat.
+    (ref: run_simulation_02.py:1764-1771, 2048-2106).  Parameters and
+    positions are written BOTH as JSON and as reference-format ``.mat``
+    sidecars (``parameters.mat``/``positions.mat``), so the reference's
+    analysis tooling (light_ray_processing.py:539-551 starts by loading
+    ``parameters.mat``) can consume a photon_tpu output directory.
     """
+    import scipy.io as sio
     out_dir = out_dir or cfg.output_data.image_directory or "."
     tif_dir = os.path.join(out_dir, "tif")
     raw_dir = os.path.join(out_dir, "raw")
@@ -418,10 +442,19 @@ def save_result(cfg: SimulationConfig, result: SimulationResult,
     p = os.path.join(out_dir, "parameters.json")
     cfg.to_json(p)
     written.append(p)
+    p = os.path.join(out_dir, "parameters.mat")
+    cfg.to_mat(p)
+    written.append(p)
     if result.dot_positions is not None:
         p = os.path.join(out_dir, "positions.json")
         with open(p, "w") as f:
             json.dump({k: np.asarray(v).tolist()
                        for k, v in result.dot_positions.items()}, f)
+        written.append(p)
+        # reference layout: positions.mat holds the dot grid as (N, 1)
+        # column vectors under x/y (ref sample-data bos/positions.mat)
+        p = os.path.join(out_dir, "positions.mat")
+        sio.savemat(p, {k: np.asarray(v, np.float64).reshape(-1, 1)
+                        for k, v in result.dot_positions.items()})
         written.append(p)
     return written

@@ -138,6 +138,21 @@ def test_bos_image_pair_pipeline_runs(tmp_path):
     assert img.shape == (256, 256)
     assert img.max() > 0
 
+    # .mat sidecars in reference layout: parameters.mat round-trips
+    # through the reference-format loader; positions.mat holds the dot
+    # grid as column vectors (ref: run_simulation_02.py:1874-1879,
+    # 2094-2106; consumed by light_ray_processing.py:539-551)
+    import scipy.io as sio
+
+    from photon_tpu.config import SimulationConfig
+    cfg2 = SimulationConfig.from_mat(str(tmp_path / "out" / "parameters.mat"))
+    assert cfg2.simulation_type == "bos"
+    assert cfg2.bos_pattern.grid_point_number == cfg.bos_pattern.grid_point_number
+    assert cfg2.camera_design.x_pixel_number == cfg.camera_design.x_pixel_number
+    pos = sio.loadmat(str(tmp_path / "out" / "positions.mat"))
+    assert pos["x"].shape == (len(result.dot_positions["x"]), 1)
+    np.testing.assert_allclose(pos["x"][:, 0], result.dot_positions["x"])
+
 
 def test_bos_saved_lightrays_deflection_pipeline(tmp_path):
     """Full C18 parity flow: save_lightrays bins -> load -> per-dot

@@ -113,6 +113,31 @@ def test_fused_state_gradients_match_per_stage():
         np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
 
 
+def test_fused_entry_z_gradients_match_per_stage():
+    """Cotangent w.r.t. the entry z state (the fused backward's d_z /
+    d_h accumulation): rays start INSIDE the volume's z range so the
+    march entry z is the differentiated input (rays from above clamp
+    their entry to z_max, hiding the kernel's d_z path)."""
+    vol = _vol(n=8)
+    xs, ys, _, dx, dy, dz = _chiefs(11)
+    zs_in = jnp.linspace(5.0e5, 8.5e5, xs.shape[0]).astype(jnp.float32)
+
+    def grad_z(marcher):
+        def run(z0):
+            o = marcher(vol, xs, ys, z0, dx, dy, dz)
+            return jnp.sum(o[0]) + 1e6 * jnp.sum(o[3])
+        return jax.grad(run)(zs_in)
+
+    g_fused = grad_z(lambda v, *a: march_chief_fused(v, *a, algorithm=2,
+                                                     interpret=True))
+    g_ref = grad_z(lambda v, *a: march_chief_dense(
+        v, *a, algorithm=2, use_pallas_sampler=False))
+    gf, gr = np.asarray(g_fused), np.asarray(g_ref)
+    denom = np.abs(gr).max()
+    assert denom > 0
+    np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
+
+
 def test_fused_tricubic_gradients_match_per_stage():
     vol = _vol(n=8)
     chiefs = _chiefs(7)
@@ -195,7 +220,7 @@ def test_fused_march_block_chunking(monkeypatch):
     chiefs = _chiefs(2100)          # > 2 blocks of 1024
 
     ref = march_chief_fused(vol, *chiefs, algorithm=2, interpret=True)
-    monkeypatch.setattr(mdf, "_BWD_MAX_G", 1)
+    monkeypatch.setattr(mdf, "_BWD_MAX_RAYS", 1024)
     got = march_chief_fused(vol, *chiefs, algorithm=2, interpret=True)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-6)
