@@ -427,15 +427,18 @@ _render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
 _sharded_cache = {}
 
 
-def _get_sharded_render(mesh, statics: dict):
+def _get_sharded_render(mesh, statics: dict, reduce: bool = True):
     """One compiled sharded renderer per (mesh, static config).
 
     Particles shard over the mesh's first axis; the volume, the shared
     lens samples and the rotation matrices are replicated; each shard
     marches its own chief rays and renders a full image, reduced with a
-    single psum (ICI all-reduce).
+    single psum (ICI all-reduce).  ``reduce=False`` returns the
+    per-shard images unreduced (stacked on the mesh axis) — identical
+    compute without the collective, used by the scaling harness to
+    isolate the psum's cost.
     """
-    key = (mesh, tuple(sorted(statics.items())))
+    key = (mesh, tuple(sorted(statics.items())), reduce)
     fn = _sharded_cache.get(key)
     if fn is not None:
         return fn
@@ -451,6 +454,8 @@ def _get_sharded_render(mesh, statics: dict):
         nk = jax.random.fold_in(noise_key, jax.lax.axis_index(axis))
         img = _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
                              nk, **statics)
+        if not reduce:
+            return img[None]
         return jax.lax.psum(img, axis)
 
     # check_vma=False: the Pallas dense-slab sampler's ShapeDtypeStruct
@@ -460,7 +465,7 @@ def _get_sharded_render(mesh, statics: dict):
         run, mesh=mesh,
         in_specs=(repl, part, part, part, part, repl, repl, repl, repl,
                   repl),
-        out_specs=repl, check_vma=False))
+        out_specs=repl if reduce else part, check_vma=False))
     _sharded_cache[key] = fn
     return fn
 
@@ -480,6 +485,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                       noise_seed: Optional[int] = None,
                       dense_march: Optional[bool] = None,
                       march_substeps: Optional[int] = None,
+                      _mesh_reduce: bool = True,
                       ) -> jnp.ndarray:
     """Render the raw image with the (P, R) SoA pipeline.
 
@@ -615,7 +621,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                                     fills=(0.0, 0.0, 1.0, 0.0))
         ray_shard = NamedSharding(mesh, Pspec(axis))
         sharded = [jax.device_put(a, ray_shard) for a in padded]
-        fn = _get_sharded_render(mesh, statics)
+        fn = _get_sharded_render(mesh, statics, reduce=_mesh_reduce)
         return fn(vol, *sharded, r1, r2, rot, inv_rot,
                   noise_key if noise_key is not None else jax.random.key(0))
 

@@ -15,11 +15,8 @@ march — all slabs x all integrator stages — into ONE ``pallas_call``:
   whole BOS bench march, fully overlapped by Mosaic's double buffering).
 * the two half-depth interpolation matmuls of the per-stage kernel
   (lo @ wy0 + hi @ wy1, each K = H) pack into ONE full-depth MXU
-  contraction: pair (W*4, 2H) @ wy_cat (2H, B), with the lo/hi taps of
-  each depth row INTERLEAVED along the contraction axis (column
-  h*2 + {lo, hi}) so any contiguous y-window of the pair is a
-  contiguous column range (the windowed large-volume march in
-  ops.march_window slices such windows per ray block).  For the 64^3
+  contraction: pair (W*4, 2H) @ wy_cat (2H, B) with the contraction
+  axis packed [lo | hi].  For the 64^3
   sample volume 2H = 128 exactly fills the systolic depth — twice the
   MXU utilization of the per-stage kernel.
 * the RK4/Euler combine runs on (1, B) rows in VMEM (VPU), not XLA.
@@ -63,15 +60,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photon_tpu.ops.march_dense_pallas import (_b3, _b3_d, _dot3,
-                                               _weights_T, _weights_T_du)
+from photon_tpu.ops.march_dense_pallas import (_dot3, _weights_T,
+                                               _weights_T_du)
 
 # rays per block (lane-major rows).  Smaller blocks at larger slabs keep
 # the backward kernel's per-stage VJP transients (A_r, d_A, weight
 # matrices — all (·, B)) inside the 16 MB VMEM budget.
 _B_FOR_SLAB = ((64 * 64, 1024), (128 * 128, 512), (256 * 256, 256))
 
-# the fused backward holds two (G*8, B) scratch register files (primal
+# the fused backward holds two (G, 8, B) scratch register files (primal
 # state + cotangent state); cap rays per kernel call so they stay ~4 MB
 _BWD_MAX_RAYS = 64 * 1024
 
@@ -89,10 +86,20 @@ def block_size_for_slab(wh: int) -> int:
     return 256
 
 
+_BWD_B_FOR_SLAB = ((64 * 64, 1024), (128 * 128, 512), (256 * 256, 256))
+
+
 def bwd_block_size_for_slab(wh: int) -> int:
-    """Backward ray-block size: half the forward's (VMEM; see
-    _fused_march_bwd), floored at 128 lanes."""
-    return max(block_size_for_slab(wh) // 2, 128)
+    """Backward ray-block size (VMEM-bound; see _fused_march_bwd).
+
+    The backward's per-step latency chain (~20 us: 4 reverse-march
+    evals + 4 replay evals + 4 VJPs, each waiting on the last) barely
+    depends on B, so larger blocks directly divide wall time — B is
+    kept as large as the 16 MB scoped-VMEM budget allows."""
+    for cap, b in _BWD_B_FOR_SLAB:
+        if wh <= cap:
+            return b
+    return 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,48 +111,25 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _axis_kernel_vals(u_row, h_iota, n: int, scheme: int, deriv: bool):
-    """Kernel (or d/du) values for taps h_iota given coordinates u_row,
-    with the clip + border-fold semantics of march_dense._tri_weights /
-    _cubic_weights (h_iota: (rows, 1) f32 tap indices, possibly repeated
-    for the interleaved lo/hi layout)."""
-    if scheme == 2:
-        uc = jnp.clip(u_row, -2.0, jnp.float32(n) + 1.0)
-        fn = _b3_d if deriv else _b3
-        w = fn(uc - h_iota)
-        fold_l = fn(uc + 1.0) + fn(uc + 2.0) + fn(uc + 3.0)
-        fold_r = fn(uc - n) + fn(uc - (n + 1.0)) + fn(uc - (n + 2.0))
-        w = w + jnp.where(h_iota == 0.0, fold_l, 0.0) \
-            + jnp.where(h_iota == jnp.float32(n - 1), fold_r, 0.0)
-        if deriv:
-            w = w * ((u_row > -2.0) & (u_row < n + 1.0)).astype(jnp.float32)
-        return w
-    uc = jnp.clip(u_row, 0.0, n - 1.0)
-    diff = uc - h_iota
-    if deriv:
-        mask = ((u_row > 0.0) & (u_row < n - 1.0)).astype(jnp.float32)
-        live = (jnp.abs(diff) < 1.0).astype(jnp.float32)
-        return -jnp.sign(diff) * live * mask
-    return jnp.maximum(0.0, 1.0 - jnp.abs(diff))
-
-
 def _weights_zT(u_row, uz, n: int, scheme: int, kind: str = "w"):
-    """(2n, B) interleaved z-blended weight rows from (1, B) coordinates.
+    """(2n, B) z-blended weight rows [lo | hi] from (1, B) coordinates.
 
-    Row 2h + p = k(u - h) * zfac_p with zfac_0 = 1-uz (lo slab),
-    zfac_1 = uz (hi slab) — matching the interleaved pair layout of
+    Rows [0, n) hold k(u - h) * (1 - uz) (lo slab), rows [n, 2n) hold
+    k(u - h) * uz (hi slab) — matching the packed pair layout of
     :func:`pairs_packed`.  kind: 'w' the weights themselves, 'du' their
-    derivative w.r.t. u, 'dz' their derivative w.r.t. uz.
+    derivative w.r.t. u, 'dz' their derivative w.r.t. uz.  The axis
+    kernel is evaluated on (n, B) rows ONCE and only the cheap z-factor
+    products run at (2n, B) — an interleaved row layout was measured to
+    double the backward kernel's VPU time (it evaluates the kernel
+    polynomial on duplicated rows).
     """
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 1), 0)
-    h = (io2 // 2).astype(jnp.float32)
-    part = (io2 % 2).astype(jnp.float32)           # 0 = lo, 1 = hi
-    vals = _axis_kernel_vals(u_row, h, n, scheme, deriv=(kind == "du"))
-    if kind == "dz":
-        zfac = 2.0 * part - 1.0
+    if kind == "du":
+        wy = _weights_T_du(u_row, n, scheme)
     else:
-        zfac = (1.0 - part) + (2.0 * part - 1.0) * uz   # lo: 1-uz, hi: uz
-    return vals * zfac
+        wy = _weights_T(u_row, n, scheme)
+    if kind == "dz":
+        return jnp.concatenate([-wy, wy], axis=0)
+    return jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -156,15 +140,40 @@ def _weights_zT(u_row, uz, n: int, scheme: int, kind: str = "w"):
 def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
                   *, W: int, H: int, S: int, B: int, scheme: int,
                   algorithm: int, substeps: int):
+    return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
+                              None, scratch, W=W, H=H, S=S, B=B,
+                              scheme=scheme, algorithm=algorithm,
+                              substeps=substeps)
+
+
+def _fused_kernel_traj(params_ref, state_ref, pair_ref, out_ref, traj_ref,
+                       scratch, *, W: int, H: int, S: int, B: int,
+                       scheme: int, algorithm: int, substeps: int):
+    return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
+                              traj_ref, scratch, W=W, H=H, S=S, B=B,
+                              scheme=scheme, algorithm=algorithm,
+                              substeps=substeps)
+
+
+def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
+                       scratch, *, W: int, H: int, S: int, B: int,
+                       scheme: int, algorithm: int, substeps: int):
     """One (ray block g, slab s) grid step of the fused march.
 
     params_ref (SMEM, (8,)): min_x, min_y, sx, sy, z_min, dz_slab.
     state_ref / out_ref: (1, 8, B) rows
       [x, y, z, Tx, Ty, Tz, inside, z0] (z0 = entry z, carried through
       unchanged — the backward kernel's analytic z reconstruction).
-    pair_ref: (W*4, 2H) — slab pair s in the packed-K interleaved layout
-      (column h*2 + {lo, hi}).
+    pair_ref: (W*4, 2H) — slab pair s in the packed-K [lo | hi] layout.
     scratch: (8, B) VMEM register file persisting across the slab axis.
+    traj_ref: optional per-(g, s) STAGE-STATE output — the residual the
+      stage backward kernel linearizes at.  Rows 5i..5i+5 hold the
+      (x, y, Tx, Ty, Tz) input state of RK4 stage i (just s1 for
+      Euler), padded to a multiple of 8 sublanes.  At 32 B x stages per
+      ray x slab this streams at HBM speed fully overlapped (measured
+      free); the alternative reverse re-march reconstruction lengthens
+      the backward's per-step dependency chain by 50% and measured ~2x
+      slower end to end (see _bwd_fused_kernel).
     """
     s = pl.program_id(1)
 
@@ -227,8 +236,27 @@ def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
     if algorithm == 1:
         k1 = rhs(x, y, Tx, Ty, Tz, z)
         new = tuple(v + hstep * k for v, k in zip(st, k1))
+        if traj_ref is not None:
+            traj_ref[0, 0] = jnp.concatenate(
+                list(st) + [jnp.zeros((3, B), jnp.float32)], axis=0)
     elif substeps == 1:
-        new = rk4_sub(st, hstep, z)
+        if traj_ref is not None:
+            h2 = hstep / 2.0
+            k1 = rhs(*st, z)
+            s2 = tuple(v + h2 * k for v, k in zip(st, k1))
+            k2 = rhs(*s2, z + h2)
+            s3 = tuple(v + h2 * k for v, k in zip(st, k2))
+            k3 = rhs(*s3, z + h2)
+            s4 = tuple(v + hstep * k for v, k in zip(st, k3))
+            k4 = rhs(*s4, z + hstep)
+            s6 = hstep / 6.0
+            new = tuple(v + s6 * (a + 2 * b + 2 * c + d)
+                        for v, a, b, c, d in zip(st, k1, k2, k3, k4))
+            traj_ref[0, 0] = jnp.concatenate(
+                list(st) + list(s2) + list(s3) + list(s4)
+                + [jnp.zeros((4, B), jnp.float32)], axis=0)
+        else:
+            new = rk4_sub(st, hstep, z)
     else:
         hs = hstep / substeps
         new = st
@@ -248,13 +276,33 @@ def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
         out_ref[0] = scratch[:]
 
 
-def _fused_call(static, params, state, pairs):
-    """state: (G, 8, B); pairs: (S, W*4, 2H); params: (8,) f32."""
+def _stage_rows(algorithm: int) -> int:
+    """Sublane rows of the stage-state residual (padded to 8s)."""
+    return 8 if algorithm == 1 else 24
+
+
+def _fused_call(static, params, state, pairs, save_traj: bool = False):
+    """state: (G, 8, B); pairs: (S, W*4, 2H); params: (8,) f32.
+
+    With ``save_traj`` also returns the (G, S, rows, B) per-step STAGE
+    states (the stage backward kernel's residual)."""
     W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
     G = state.shape[0]
     kern = functools.partial(
-        _fused_kernel, W=W, H=H, S=S, B=B, scheme=scheme,
+        _fused_kernel_traj if save_traj else _fused_kernel,
+        W=W, H=H, S=S, B=B, scheme=scheme,
         algorithm=algorithm, substeps=substeps)
+    out_specs = pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((G, 8, B), jnp.float32)
+    if save_traj:
+        rows = _stage_rows(algorithm)
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, rows, B),
+                                  lambda g, s: (g, s, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((G, S, rows, B), jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(G, S),
@@ -265,10 +313,11 @@ def _fused_call(static, params, state, pairs):
             pl.BlockSpec((1, W * 4, 2 * H), lambda g, s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((8, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(params, state, pairs)
 
@@ -287,8 +336,10 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
     Grid is (S, G) with the slab axis OUTER (reversed: forward step
     s = S-1-si) so the d_pair output block for step s stays resident in
     VMEM while the inner g loop accumulates every ray block's
-    contribution.  Two (G*8, B) VMEM register files persist across the
-    whole sweep: the PRIMAL state (reverse-reconstructed, walking the
+    contribution.  Two (G, 8, B) VMEM register files persist across the
+    whole sweep (leading-dim dynamic indexing — tile-aligned address
+    arithmetic, unlike a dynamic sublane offset into a (G*8, B)
+    layout): the PRIMAL state (reverse-reconstructed, walking the
     march backward from its saved exit state) and the cotangent state.
 
     out_ref / ct_in_ref / dstate_ref live in ANY (HBM) space and are
@@ -320,11 +371,11 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
     @pl.when(si == 0)
     def _():
         ld1 = pltpu.make_async_copy(out_ref.at[g],
-                                    prim_scratch.at[pl.ds(g * 8, 8)], sem)
+                                    prim_scratch.at[g], sem)
         ld1.start()
         ld1.wait()
         ld2 = pltpu.make_async_copy(ct_in_ref.at[g],
-                                    ct_scratch.at[pl.ds(g * 8, 8)], sem)
+                                    ct_scratch.at[g], sem)
         ld2.start()
         ld2.wait()
 
@@ -332,7 +383,7 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
     def _():
         dpair_ref[:] = jnp.zeros_like(dpair_ref)
 
-    prim = prim_scratch[pl.ds(g * 8, 8)]   # (8, B) exit state of step s
+    prim = prim_scratch[g]                 # (8, B) exit state of step s
     x, y = prim[0:1], prim[1:2]
     Tx, Ty, Tz = prim[3:4], prim[4:5], prim[5:6]
     inside = prim[6:7]
@@ -341,7 +392,7 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
     in_band = (inside > 0.0) & (z_entry > z_plane)
     h = z_plane - z_entry                  # forward hstep (negative)
 
-    ct = ct_scratch[pl.ds(g * 8, 8)]       # (8, B)
+    ct = ct_scratch[g]                     # (8, B)
     ct_x, ct_y, ct_z = ct[0:1], ct[1:2], ct[2:3]
     ct_Tx, ct_Ty, ct_Tz = ct[3:4], ct[4:5], ct[5:6]
 
@@ -434,7 +485,8 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
         ux = 0.5 + (px - min_x) / sx
         uy = 0.5 + (py - min_y) / sy
         wx = _weights_T(ux, W, scheme)
-        wy_cat = _weights_zT(uy, uz, H, scheme)
+        vals = _weights_T(uy, H, scheme)               # (H, B)
+        wy_cat = jnp.concatenate([vals * (1.0 - uz), vals * uz], axis=0)
         A_r = dot1(pair_ref[0], wy_cat, dn_fwd).reshape(W, 4, B)
         d0, d1, d2, d3, d4 = d5
         d_gx = d2 * gfac
@@ -453,9 +505,10 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
                        axis=0, keepdims=True)
         ct_pair = dot1(d_A, wy_cat, dn_ctp)
         d_wy_cat = dot1(pair_ref[0], d_A, dn_dwy)          # (2H, B)
-        d_uy = jnp.sum(d_wy_cat * _weights_zT(uy, uz, H, scheme, "du"),
+        d_wy = d_wy_cat[:H] * (1.0 - uz) + d_wy_cat[H:] * uz
+        d_uy = jnp.sum(d_wy * _weights_T_du(uy, H, scheme),
                        axis=0, keepdims=True)
-        d_uz = jnp.sum(d_wy_cat * _weights_zT(uy, uz, H, scheme, "dz"),
+        d_uz = jnp.sum((d_wy_cat[H:] - d_wy_cat[:H]) * vals,
                        axis=0, keepdims=True)
         mask = ((uz_raw >= 0.0) & (uz_raw <= 1.0)).astype(jnp.float32)
         d_z_at = d_uz * mask / dz_slab
@@ -517,18 +570,18 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
     new_prim = jnp.concatenate([
         s1[0], s1[1], jnp.where(sel, z_entry, prim[2:3]),
         s1[2], s1[3], s1[4], inside, z0], axis=0)
-    prim_scratch[pl.ds(g * 8, 8)] = new_prim
+    prim_scratch[g] = new_prim
 
     new_ct = jnp.concatenate([
         jnp.where(sel, d_st[0], ct_x), jnp.where(sel, d_st[1], ct_y),
         jnp.where(sel, d_z, ct_z), jnp.where(sel, d_st[2], ct_Tx),
         jnp.where(sel, d_st[3], ct_Ty), jnp.where(sel, d_st[4], ct_Tz),
         zero, zero], axis=0)
-    ct_scratch[pl.ds(g * 8, 8)] = new_ct
+    ct_scratch[g] = new_ct
 
     @pl.when(si == S - 1)
     def _():
-        stc = pltpu.make_async_copy(ct_scratch.at[pl.ds(g * 8, 8)],
+        stc = pltpu.make_async_copy(ct_scratch.at[g],
                                     dstate_ref.at[g], sem)
         stc.start()
         stc.wait()
@@ -561,11 +614,238 @@ def _bwd_fused_call(static, params, out, pairs, ct_out):
             jax.ShapeDtypeStruct((S, W * 4, 2 * H), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * 8, B), jnp.float32),
-                        pltpu.VMEM((G * 8, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G, 8, B), jnp.float32),
+                        pltpu.VMEM((G, 8, B), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
+        # the per-step transient peak (reverse-march + replay + 4 VJPs)
+        # exceeds the compiler's 16 MB default scoped-VMEM budget at
+        # B=1024 (measured 21.8 MB); v5e has 128 MB physical VMEM and
+        # this kernel's explicit buffers are small, so raise the stack
+        # budget instead of shrinking B (B sets MXU efficiency — the
+        # backward is matmul-throughput-bound)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(params, out, pairs, ct_out)
+    return dpairs, dstate
+
+
+# ---------------------------------------------------------------------------
+# Stage backward kernel: pure VJP chain over saved per-stage states
+# ---------------------------------------------------------------------------
+
+
+def _bwd_stage_kernel(params_ref, out_ref, traj_ref, pair_ref, ct_in_ref,
+                      dpair_ref, dstate_ref, ct_scratch, aux_scratch, sem,
+                      *, W: int, H: int, S: int, G: int, B: int,
+                      scheme: int, algorithm: int):
+    """One (reversed slab si, ray block g) step of the STAGE backward.
+
+    The forward saved every RK4 stage's input state (traj_ref,
+    BlockSpec-streamed per step — measured free), so this kernel is a
+    pure cotangent chain: per stage ONE sample recompute (A) plus the
+    two cotangent contractions, 4 sequential units instead of the
+    reverse-re-march kernel's 12 (chain depth sets wall time here: the
+    per-step latency is dependency-bound, not throughput-bound).
+
+    ct_scratch (G, 8, B) carries the cotangent state across the sweep
+    (rows 6..7 stay zero: march_chief_fused never exposes out rows
+    6..7, so their upstream cotangents are identically zero);
+    aux_scratch caches the exit state per block for the per-step
+    (inside, z0) reads.
+    """
+    si = pl.program_id(0)
+    g = pl.program_id(1)
+
+    min_x = params_ref[0]
+    min_y = params_ref[1]
+    sx = params_ref[2]
+    sy = params_ref[3]
+    z_min = params_ref[4]
+    dz_slab = params_ref[5]
+
+    ks = si.astype(jnp.float32)
+    z_plane = jnp.maximum(z_min + (ks - 0.5) * dz_slab, z_min)
+    plane_prev = z_min + (ks + 0.5) * dz_slab
+
+    @pl.when(si == 0)
+    def _():
+        ld1 = pltpu.make_async_copy(ct_in_ref.at[g], ct_scratch.at[g], sem)
+        ld1.start()
+        ld1.wait()
+        ld2 = pltpu.make_async_copy(out_ref.at[g], aux_scratch.at[g], sem)
+        ld2.start()
+        ld2.wait()
+
+    @pl.when(g == 0)
+    def _():
+        dpair_ref[:] = jnp.zeros_like(dpair_ref)
+
+    ct = ct_scratch[g]
+    ct_x, ct_y, ct_z = ct[0:1], ct[1:2], ct[2:3]
+    ct_Tx, ct_Ty, ct_Tz = ct[3:4], ct[4:5], ct[5:6]
+    aux = aux_scratch[g]
+    inside = aux[6:7]
+    z0 = aux[7:8]
+    z_entry = jnp.minimum(z0, plane_prev)
+    in_band = (inside > 0.0) & (z_entry > z_plane)
+    h = z_plane - z_entry
+
+    zero = jnp.zeros_like(ct_x)
+    gate = in_band.astype(jnp.float32)
+    d_new = (ct_x * gate, ct_y * gate, ct_Tx * gate, ct_Ty * gate,
+             ct_Tz * gate)
+
+    dn_fwd = (((1,), (0,)), ((), ()))
+    dn_ctp = (((1,), (1,)), ((), ()))
+    dn_dwy = (((0,), (0,)), ((), ()))
+
+    def dot1(a, b, dn):
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32)
+
+    def add5(a, c, b):
+        return tuple(ai + c * bi for ai, bi in zip(a, b))
+
+    def dot5(a, b):
+        return sum(ai * bi for ai, bi in zip(a, b))
+
+    t = traj_ref[0, 0]
+    stages = [tuple(t[5 * i + j:5 * i + j + 1] for j in range(5))
+              for i in range(1 if algorithm == 1 else 4)]
+
+    def vjp_stage(st, z_at, d5):
+        """One merged sample-recompute + cotangent unit.
+
+        Returns (d_state5, d_z_at, ct_pair, k) — k is the stage RHS,
+        reconstructed from the same A contraction the cotangents need,
+        so no separate forward replay exists anywhere in this kernel.
+        """
+        px, py, tx, ty, tz = st
+        uz_raw = (z_at - z_plane) / dz_slab
+        uz = jnp.clip(uz_raw, 0.0, 1.0)
+        ux = 0.5 + (px - min_x) / sx
+        uy = 0.5 + (py - min_y) / sy
+        wx = _weights_T(ux, W, scheme)
+        vals = _weights_T(uy, H, scheme)
+        wy_cat = jnp.concatenate([vals * (1.0 - uz), vals * uz], axis=0)
+        A_r = dot1(pair_ref[0], wy_cat, dn_fwd).reshape(W, 4, B)
+        s4c = jnp.sum(A_r * wx[:, None, :], axis=0)        # (4, B)
+        gx, gy, gz = s4c[0:1], s4c[1:2], s4c[2:3]
+        nm1 = s4c[3:4]
+        inv = jnp.where(in_band, 1.0 / tz, 0.0)
+        gfac = (1.0 + nm1) * inv
+        k = (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
+
+        d0, d1, d2, d3, d4 = d5
+        d_gx = d2 * gfac
+        d_gy = d3 * gfac
+        d_gz = d4 * gfac
+        d_gfac = d2 * gx + d3 * gy + d4 * gz
+        d_nm1 = d_gfac * inv
+        d_inv = d0 * tx + d1 * ty + d_gfac * (1.0 + nm1)
+        d_tx = d0 * inv
+        d_ty = d1 * inv
+        d_tz = -(inv * inv) * d_inv
+        d_s4 = jnp.concatenate([d_gx, d_gy, d_gz, d_nm1], axis=0)
+        d_A = (wx[:, None, :] * d_s4[None]).reshape(W * 4, B)
+        d_wx = jnp.sum(A_r * d_s4[None], axis=1)
+        d_ux = jnp.sum(d_wx * _weights_T_du(ux, W, scheme),
+                       axis=0, keepdims=True)
+        ct_pair = dot1(d_A, wy_cat, dn_ctp)
+        d_wy_cat = dot1(pair_ref[0], d_A, dn_dwy)
+        d_wy = d_wy_cat[:H] * (1.0 - uz) + d_wy_cat[H:] * uz
+        d_uy = jnp.sum(d_wy * _weights_T_du(uy, H, scheme),
+                       axis=0, keepdims=True)
+        d_uz = jnp.sum((d_wy_cat[H:] - d_wy_cat[:H]) * vals,
+                       axis=0, keepdims=True)
+        mask = ((uz_raw >= 0.0) & (uz_raw <= 1.0)).astype(jnp.float32)
+        d_z_at = d_uz * mask / dz_slab
+        d_state = (d_ux / sx, d_uy / sy, d_tx, d_ty, d_tz)
+        return d_state, d_z_at, ct_pair, k
+
+    if algorithm == 1:
+        s1 = stages[0]
+        d_k1 = tuple(h * d for d in d_new)
+        v1, d_z1, ctp, k1 = vjp_stage(s1, z_entry, d_k1)
+        d_st = add5(d_new, 1.0, v1)
+        d_h = dot5(d_new, k1)
+        d_z = d_z1 - d_h
+    else:
+        s1, s2, s3, s4 = stages
+        h2 = h / 2.0
+        d_k4 = tuple((h / 6.0) * d for d in d_new)
+        v4, d_z4, ctp4, k4 = vjp_stage(s4, z_entry + h, d_k4)
+        d_k3 = add5(tuple((h / 3.0) * d for d in d_new), h, v4)
+        v3, d_z3, ctp3, k3 = vjp_stage(s3, z_entry + h2, d_k3)
+        d_k2 = add5(tuple((h / 3.0) * d for d in d_new), h2, v3)
+        v2, d_z2, ctp2, k2 = vjp_stage(s2, z_entry + h2, d_k2)
+        d_k1 = add5(tuple((h / 6.0) * d for d in d_new), h2, v2)
+        v1, d_z1, ctp1, k1 = vjp_stage(s1, z_entry, d_k1)
+
+        d_st = add5(add5(add5(add5(d_new, 1.0, v4), 1.0, v3), 1.0, v2),
+                    1.0, v1)
+        combo = tuple(a + 2.0 * b + 2.0 * c + d
+                      for a, b, c, d in zip(k1, k2, k3, k4))
+        d_h = (dot5(d_new, combo) / 6.0 + dot5(v4, k3) + d_z4
+               + 0.5 * dot5(v3, k2) + 0.5 * d_z3
+               + 0.5 * dot5(v2, k1) + 0.5 * d_z2)
+        d_z = d_z4 + d_z3 + d_z2 + d_z1 - d_h
+        ctp = ctp1 + ctp2 + ctp3 + ctp4
+
+    dpair_ref[:] += ctp[None]
+
+    sel = in_band
+    new_ct = jnp.concatenate([
+        jnp.where(sel, d_st[0], ct_x), jnp.where(sel, d_st[1], ct_y),
+        jnp.where(sel, d_z, ct_z), jnp.where(sel, d_st[2], ct_Tx),
+        jnp.where(sel, d_st[3], ct_Ty), jnp.where(sel, d_st[4], ct_Tz),
+        zero, zero], axis=0)
+    ct_scratch[g] = new_ct
+
+    @pl.when(si == S - 1)
+    def _():
+        stc = pltpu.make_async_copy(ct_scratch.at[g], dstate_ref.at[g], sem)
+        stc.start()
+        stc.wait()
+
+
+def _bwd_stage_call(static, params, out, traj, pairs, ct_out):
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    G = out.shape[0]
+    rows = _stage_rows(algorithm)
+    kern = functools.partial(_bwd_stage_kernel, W=W, H=H, S=S, G=G, B=B,
+                             scheme=scheme, algorithm=algorithm)
+    dpairs, dstate = pl.pallas_call(
+        kern,
+        grid=(S, G),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, rows, B), lambda si, g: (g, S - 1 - si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * 4, 2 * H),
+                         lambda si, g: (S - 1 - si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W * 4, 2 * H),
+                         lambda si, g: (S - 1 - si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, W * 4, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((G, 8, B), jnp.float32),
+                        pltpu.VMEM((G, 8, B), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(params, out, traj, pairs, ct_out)
     return dpairs, dstate
 
 
@@ -576,15 +856,48 @@ def _fused_march(static, params, state, pairs, field):
     return _fused_call(static, params, state, pairs)
 
 
+# stage-residual budget: above this the backward reconstructs states by
+# reverse re-march instead of streaming saved stages (HBM capacity trade
+# only — the residual's bandwidth is fully overlapped).  Trace-time env
+# read: changing it after a first compilation requires jax.clear_caches().
+_TRAJ_DEFAULT_MAX_BYTES = 2 << 30
+
+
+def _traj_max_bytes() -> int:
+    import os
+    return int(os.environ.get("PHOTON_TRAJ_MAX_BYTES",
+                              _TRAJ_DEFAULT_MAX_BYTES))
+
+
+def _bwd_fused_eligible(static) -> bool:
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    return algorithm in (1, 2) and substeps == 1 \
+        and W * H <= _BWD_FUSED_MAX_SLAB
+
+
 def _fused_march_fwd(static, params, state, pairs, field):
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    G = state.shape[0]
+    if _bwd_fused_eligible(static):
+        traj_bytes = G * S * _stage_rows(algorithm) * B * 4
+        if traj_bytes <= _traj_max_bytes():
+            out, traj = _fused_call(static, params, state, pairs,
+                                    save_traj=True)
+            return out, (params, out, state, pairs, field, traj)
     out = _fused_call(static, params, state, pairs)
-    return out, (params, out, state, pairs, field)
+    return out, (params, out, state, pairs, field, None)
 
 
 def _fused_march_bwd(static, res, ct):
-    """Backward dispatch: the reverse-re-march cotangent kernel for
-    Euler/RK4 (single substep) inside the VMEM slab cap; otherwise a
-    recompute through the differentiable per-stage path.
+    """Backward dispatch, fastest applicable first:
+
+    1. the STAGE cotangent kernel over saved per-stage states (Euler/
+       RK4 single substep, slab <= the VMEM cap, residual under the
+       PHOTON_TRAJ_MAX_BYTES budget) — shortest dependency chain;
+    2. the reverse-re-march cotangent kernel (same coverage, no
+       residual — for marches whose stage residual would not fit HBM);
+    3. a recompute through the differentiable per-stage path (AB4,
+       substeps > 1, oversized slabs).
 
     Either way the ``pairs``/``field`` split is the same: the total
     field gradient is pairs_packed's transpose of d_pairs plus d_field,
@@ -592,9 +905,13 @@ def _fused_march_bwd(static, res, ct):
     two.  Gradients w.r.t. the geometry scalars in params are zero on
     the fused path (volume bounds are never optimization variables)."""
     W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
-    params, out, state, pairs, field = res
-    if algorithm in (1, 2) and substeps == 1 \
-            and W * H <= _BWD_FUSED_MAX_SLAB:
+    params, out, state, pairs, field, traj = res
+    if traj is not None:
+        d_pairs, d_state = _bwd_stage_call(static, params, out, traj,
+                                           pairs, ct)
+        return (jnp.zeros_like(params), d_state, d_pairs,
+                jnp.zeros_like(field))
+    if _bwd_fused_eligible(static):
         # the backward runs at HALF the forward's ray-block size: its
         # per-stage transients (A, d_A, weight matrices, the reverse
         # re-march evals — all (., B)) measured 18.5 MB scoped VMEM at
@@ -711,15 +1028,14 @@ _fused_march.defvjp(_fused_march_fwd, _fused_march_bwd)
 def pairs_packed(field):
     """(D, H, W, 4) field -> (S, W*4, 2H) packed-K slab pairs, top-down.
 
-    Row r = w * 4 + c holds channel c of column w; contraction column
-    2h + p interleaves the lo (p = 0) and hi (p = 1) slab taps of depth
-    row h, so any contiguous y-window is a contiguous column range."""
+    Row r = w * 4 + c holds channel c of column w; the 2H contraction
+    axis is [lo slab | hi slab] (a y-window is two half-K column
+    ranges — the windowed march DMAs each half separately)."""
     d, h, w, _ = field.shape
     f = jnp.transpose(field, (0, 2, 3, 1))           # (D, W, 4, H)
-    lo = jnp.flip(f[:-1], axis=0)
-    hi = jnp.flip(f[1:], axis=0)
-    pair = jnp.stack([lo, hi], axis=-1)              # (S, W, 4, H, 2)
-    return pair.reshape(d - 1, w * 4, 2 * h)
+    lo = jnp.flip(f[:-1], axis=0).reshape(d - 1, w * 4, h)
+    hi = jnp.flip(f[1:], axis=0).reshape(d - 1, w * 4, h)
+    return jnp.concatenate([lo, hi], axis=2)
 
 
 def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,

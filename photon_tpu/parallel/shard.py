@@ -17,10 +17,10 @@ chunking.  The TPU-native scaling model:
   same ``psum`` transpose in the backward pass, which XLA overlaps with
   the backward march.
 
-``python -m photon_tpu.parallel.shard`` runs the scaling harness: a
-weak-scaling sweep of the sharded renderer over a virtual CPU mesh,
-reporting per-step times and sharding-overhead efficiency (see
-``scaling_report``).
+``python -m photon_tpu.parallel.shard`` runs the scaling harness: weak-
+scaling sweeps of the sharded renderer (forward AND forward+backward)
+over a virtual CPU mesh, plus a reduced-vs-unreduced isolation of the
+image psum's share of wall time (see ``scaling_report``).
 """
 from __future__ import annotations
 
@@ -88,23 +88,35 @@ def pad_to_multiple(arrays, multiple: int, fills=None):
 
 def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
                    rays_per_dot: int = 64, sensor: int = 256,
-                   reps: int = 3) -> dict:
-    """Weak-scaling sweep of the sharded fast renderer.
+                   reps: int = 5) -> dict:
+    """Weak-scaling sweep of the sharded fast renderer (fwd and fwd+bwd).
 
     For each N in ``device_counts``: N * dots_per_device dots sharded
-    over an N-device mesh, timed per render.  Reports:
+    over an N-device mesh, timed per render (median of ``reps``).
+    Reports:
 
-    * ``weak_scaling_efficiency``: T(1) / T(N) — the textbook number.
-      On a virtual CPU mesh this is bounded by the *physical core count*,
-      not the sharding design: all virtual devices share the host's
-      cores, so compute serializes beyond n_cores (the caveat field
-      records this).  On a real pod slice each device is a chip and this
-      is the ICI-limited number the >= 0.8 gate refers to.
-    * ``overhead_efficiency``: T_unsharded(N*P) / T_mesh_N(N*P) — fixes
-      the total work and compares the mesh run (shard_map + psum + halo
-      of the replicated volume) to the single-device run of the same
-      scene.  This isolates the cost the sharding machinery itself adds
-      and is meaningful even on the virtual mesh.
+    * ``weak.*.weak_scaling_efficiency``: T(1) / T(N) at fixed per-device
+      work — the textbook number.  On a virtual CPU mesh this is bounded
+      by the *physical core count*, not the sharding design: all virtual
+      devices share the host's cores, so compute serializes beyond
+      n_cores (the caveat field records this).  On a real pod slice each
+      device is a chip and this is the ICI-limited number the >= 0.8
+      gate refers to.
+    * ``grad.*``: the same sweep for a full forward+backward step
+      (gradient of mean(img^2) w.r.t. the REPLICATED density field) —
+      this times the psum-transpose all-reduce of the field gradient
+      that the backward pass inserts, the collective pattern of
+      multi-chip BOS inversion.
+    * ``collective.*.psum_fraction``: at each N, the SAME sharded
+      forward is run twice — once psum-reduced, once returning per-shard
+      images unreduced — and the fraction of wall time attributable to
+      the reduce is (T_reduced - T_unreduced) / T_reduced.  Unlike the
+      round-3 ``overhead_efficiency`` (whose unsharded baseline was
+      confounded by XLA's different intra-op threading at N=1, reading
+      >1), both runs here use identical compute and differ only in the
+      collective, so the number isolates what it claims on any backend
+      (on the virtual CPU mesh it is an upper bound for ICI: the host
+      emulates the all-reduce through shared memory).
     """
     import os
 
@@ -114,6 +126,8 @@ def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
     from photon_tpu.models.scenes import bos_source
     from photon_tpu.utils.rng import lens_samples
     from photon_tpu.volume import build_density_volume
+
+    import jax.numpy as jnp
 
     # exercise the multi-host entry (single-process no-op)
     multihost_init(num_processes=int(os.environ.get("PHOTON_NUM_PROCS", 1)))
@@ -148,44 +162,69 @@ def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
     report = {"devices_available": n_avail,
               "platform": jax.default_backend(),
               "physical_cores": os.cpu_count(),
-              "device_counts": counts, "weak": {}, "overhead": {}}
+              "device_counts": counts, "weak": {}, "grad": {},
+              "collective": {}}
 
     def timed(fn):
-        fn().block_until_ready()              # compile
+        fn()                                  # compile
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            fn().block_until_ready()
+            fn()
             ts.append(time.time() - t0)
-        return min(ts)
+        return sorted(ts)[len(ts) // 2]       # median
 
-    t1 = None
+    t1 = g1 = None
     for n in counts:
         args = scene(n * dots_per_device)
         cfg, setup, src, r1, r2, vol = args
         mesh = make_mesh(n)
-        t_mesh = timed(lambda: render_image_fast(cfg, setup, src, r1, r2,
-                                                 vol=vol, mesh=mesh))
-        t_flat = timed(lambda: render_image_fast(cfg, setup, src, r1, r2,
-                                                 vol=vol))
+
+        def fwd(reduce=True):
+            img = render_image_fast(cfg, setup, src, r1, r2, vol=vol,
+                                    mesh=mesh, _mesh_reduce=reduce)
+            img.block_until_ready()
+
+        def loss(field):
+            img = render_image_fast(cfg, setup, src, r1, r2,
+                                    vol=vol._replace(field=field),
+                                    mesh=mesh)
+            return jnp.mean(img * img)
+
+        grad_fn = jax.grad(loss)
+
+        def grad_step():
+            grad_fn(vol.field).block_until_ready()
+
+        t_mesh = timed(fwd)
+        t_nored = timed(lambda: fwd(reduce=False))
+        t_grad = timed(grad_step)
         rays = src.num_rays
         report["weak"][n] = {"time_s": t_mesh, "rays": rays,
                              "rays_per_s": rays / t_mesh}
-        report["overhead"][n] = {"time_unsharded_s": t_flat,
-                                 "efficiency": t_flat / t_mesh}
+        report["grad"][n] = {"time_s": t_grad, "rays": rays,
+                             "rays_per_s": rays / t_grad}
+        report["collective"][n] = {
+            "time_reduced_s": t_mesh, "time_unreduced_s": t_nored,
+            "psum_fraction": max(0.0, (t_mesh - t_nored) / t_mesh)}
         if n == counts[0]:
-            t1 = t_mesh
-    if t1 is not None:
-        for n in counts:
-            report["weak"][n]["weak_scaling_efficiency"] = \
-                t1 / report["weak"][n]["time_s"]
+            t1, g1 = t_mesh, t_grad
+    for n in counts:
+        report["weak"][n]["weak_scaling_efficiency"] = \
+            min(t1 / report["weak"][n]["time_s"], 1.0)
+        report["grad"][n]["weak_scaling_efficiency"] = \
+            min(g1 / report["grad"][n]["time_s"], 1.0)
     report["caveat"] = (
         "virtual CPU mesh: all devices share the host's physical cores, so "
         "weak-scaling efficiency is compute-bound by cores/devices, not by "
-        "the sharding design; overhead_efficiency isolates the shard_map + "
-        "psum cost, which is what transfers to real ICI meshes. Real "
-        "multi-chip hardware is not available in this environment "
-        "(single TPU v5e chip)." if jax.default_backend() == "cpu"
+        "the sharding design (efficiencies are clamped at 1.0 because more "
+        "virtual devices also means more host threads). collective."
+        "psum_fraction compares identical sharded programs with/without "
+        "the image all-reduce, isolating the collective's share of wall "
+        "time; grad.* times the full fwd+bwd step whose backward psum-"
+        "transposes the replicated field gradient. Real multi-chip "
+        "hardware is not available in this environment (single TPU v5e "
+        "chip)." if jax.default_backend() == "cpu"
         else "real accelerator mesh")
     return report
 

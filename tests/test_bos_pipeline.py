@@ -66,6 +66,43 @@ def gradient_volume_between(setup, grad_rho=4.0, n=32,
     return vol, eps, Z_D
 
 
+def test_paraxial_displacement_oracle_matches_closed_form():
+    """The per-dot oracle (analysis.fields.paraxial_displacement_oracle,
+    the generalization used by the sample-scene parity tests) reduces to
+    theoretical_deflection's closed form on a uniform-gradient volume
+    with an unrotated camera."""
+    import dataclasses
+
+    from photon_tpu.analysis.fields import (paraxial_displacement_oracle,
+                                            theoretical_deflection)
+
+    cfg = bos_case("apparent")
+    setup = camera_setup(cfg)
+    vol, eps, Z_D = gradient_volume_between(setup)
+    source, dot_x, dot_y = bos_source(cfg, setup,
+                                      np.random.default_rng(11))
+    # one pseudo source point per dot, on-axis z
+    pseudo = dataclasses.replace(
+        source, x=dot_x.astype(np.float64), y=dot_y.astype(np.float64),
+        z=np.full(dot_x.shape, float(np.asarray(source.z).ravel()[0])),
+        radiance=np.ones(dot_x.shape),
+        diameter_index=np.zeros(dot_x.shape, np.int32))
+    pred, hit = paraxial_displacement_oracle(cfg, setup, vol, pseudo)
+    assert hit.all()
+    # closed form: same eps for every dot (uniform gradient), mapped
+    # through M * Z_D / pitch with the sensor-x mirror
+    _, disp_expected = theoretical_deflection(
+        rho_grad=4.0 / 4e5, magnification=setup.magnification, Z_D=Z_D,
+        del_z=0.5 * setup.object_distance, rho_0=1.225 + 2.0,
+        pixel_pitch=cfg.camera_design.pixel_pitch)
+    got = pred[:, 0]
+    assert np.sign(np.mean(got)) == -np.sign(disp_expected) or \
+        np.sign(disp_expected) == 0
+    np.testing.assert_allclose(np.abs(got), abs(disp_expected), rtol=0.08)
+    # y displacement ~ 0 (gradient is along x)
+    assert np.abs(pred[:, 1]).max() < 0.05 * abs(disp_expected) + 1e-3
+
+
 @pytest.mark.parametrize("lens_model", ["apparent", "general"])
 def test_bos_displacement_matches_oracle(lens_model):
     cfg = bos_case(lens_model)

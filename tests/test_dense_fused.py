@@ -138,6 +138,34 @@ def test_fused_entry_z_gradients_match_per_stage():
     np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
 
 
+def test_fused_recompute_backward_matches(monkeypatch):
+    """The memory-lean reverse-re-march backward (stage residual over
+    the PHOTON_TRAJ_MAX_BYTES budget) matches the per-stage autodiff
+    oracle like the default stage-residual kernel does."""
+    import photon_tpu.ops.march_dense_fused as mdf
+
+    monkeypatch.setattr(mdf, "_traj_max_bytes", lambda: 0)
+    vol = _vol(n=8)
+    chiefs = _chiefs(11)
+
+    def loss(marcher):
+        def fn(field):
+            out = marcher(field)
+            return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
+        return fn
+
+    g_fused = jax.grad(loss(lambda f: march_chief_fused(
+        vol, *chiefs, algorithm=2, field=f, interpret=True)))(vol.field)
+    monkeypatch.undo()
+    g_ref = jax.grad(loss(lambda f: march_chief_dense(
+        vol, *chiefs, algorithm=2, field=f,
+        use_pallas_sampler=False)))(vol.field)
+    gf, gr = np.asarray(g_fused), np.asarray(g_ref)
+    denom = np.abs(gr).max()
+    assert denom > 0
+    np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)
+
+
 def test_fused_tricubic_gradients_match_per_stage():
     vol = _vol(n=8)
     chiefs = _chiefs(7)

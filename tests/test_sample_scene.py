@@ -111,76 +111,35 @@ def test_sample_scene_routed_to_exact_path():
     assert can_use_fast_renderer(cfg, setup)
 
 
-def _oracle_displacement_px(cfg, setup, vol, src):
-    """Paraxial-oracle prediction of each dot's image displacement (px).
-
-    eps = (1/n0) * integral of grad(n)_perp ds along the straight chief
-    ray through the actual volume (trapezoid over the AABB span), mapped
-    to the sensor: apparent object shift = eps * Z_D (volume center ->
-    dot plane), image shift = M * shift / pixel_pitch, x mirrored by the
-    sensor's pixel mapping (parallel_ray_tracing.cu:1441-1447).
-    """
-    from photon_tpu.ops.interp import sample_trilinear, texture_lookup
-
-    inv_rot = np.asarray(setup.inverse_rotation_matrix, np.float64)
-    rot = np.asarray(setup.rotation_matrix, np.float64)
-    shift = setup.z_offset + 750e3
-    xs = src.x.astype(np.float64)
-    ys = src.y.astype(np.float64)
-    zs = src.z.astype(np.float64)
-    dden = setup.image_distance - zs
-    tx, ty = xs / dden, ys / dden
-    cinv = 1.0 / np.sqrt(tx ** 2 + ty ** 2 + 1.0)
-    dir_cam = np.stack([tx * cinv, ty * cinv, -cinv], -1)
-    pos_cam = np.stack([xs, ys, zs - shift], -1)
-    dw = dir_cam @ inv_rot.T
-    pw = pos_cam @ inv_rot.T
-
-    mn = np.asarray(vol.min_bound, np.float64)
-    mx = np.asarray(vol.max_bound, np.float64)
-    t1 = (mn - pw) / dw
-    t2 = (mx - pw) / dw
-    tn = np.minimum(t1, t2).max(1)
-    tf = np.maximum(t1, t2).min(1)
-    hit = tf > tn
-
-    S = 256
-    P = xs.size
-    ts = tn[:, None] + (tf - tn)[:, None] * (np.arange(S)[None] + 0.5) / S
-    pts = pw[:, None, :] + dw[:, None, :] * ts[..., None]
-    field_flat = jnp.asarray(vol.field).reshape(-1, 4)
-    lk = texture_lookup(jnp.asarray(pts.reshape(-1, 3), jnp.float32),
-                        vol.min_bound, vol.max_bound, vol.sizes)
-    sm = np.asarray(sample_trilinear(field_flat, vol.sizes, lk)
-                    ).reshape(P, S, 4)
-    grad_int = sm[..., :3].sum(1) * ((tf - tn) / S)[:, None]
-    grad_int -= (grad_int * dw).sum(1, keepdims=True) * dw  # perp part
-    ddir_cam = grad_int @ rot.T                              # n0 ~ 1
-
-    volc_cam = ((mn + mx) / 2) @ rot.T
-    Z_D = zs - (volc_cam[2] + shift)
-    pred_px = (ddir_cam[:, :2] * Z_D[:, None] * setup.magnification
-               / cfg.camera_design.pixel_pitch)
-    pred_px[:, 0] *= -1.0  # sensor x mirror
-    return pred_px, hit
+# the per-dot displacement oracle lives in the package (promoted from
+# this test in round 4 so it is unit-tested against the closed-form
+# paraxial formulas rather than existing only here)
+from photon_tpu.analysis.fields import paraxial_displacement_oracle \
+    as _oracle_displacement_px  # noqa: E402
 
 
 @needs_ref
 def test_sample_scene_displacement_matches_paraxial_oracle():
     """Per-dot BOS displacements rendered through the full pipeline
     (ray gen -> Euler march through the sample NRRD -> thin lens ->
-    sensor) match the oracle integral dot by dot."""
+    sensor) match the oracle integral dot by dot.
+
+    CI subsamples 289 of 7,225 dots and 16 of 500 rays; set
+    PHOTON_SLOW=1 to run the FULL grid (all 7,225 dots, 500 rays) —
+    ~tens of minutes on the 2-core CPU host."""
     from photon_tpu.analysis.light_rays import process_lightray_data
     from photon_tpu.models.render import render_rays
     from photon_tpu.ops.march import make_march_fn
     from photon_tpu.pipeline import _lens_sample_pair
     from photon_tpu.volume import load_density_volume
 
+    slow = os.environ.get("PHOTON_SLOW", "0") == "1"
     cfg = _load_cfg()
     setup = camera_setup(cfg)
     vol = load_density_volume(DENSITY_NRRD)
     src, *_ = bos_source(cfg, setup, np.random.default_rng(0))
-    src = _subsample(src, 25)                 # 289 of 7225 dots for CI
+    if not slow:
+        src = _subsample(src, 25)             # 289 of 7225 dots for CI
     R = src.lightray_number_per_particle
     r1, r2 = _lens_sample_pair(cfg, R)
 
@@ -248,6 +207,136 @@ def test_sample_scene_renders_image_pair():
     win = im1[max(r0 - 4, 0):r0 + 5, max(c0 - 4, 0):c0 + 5]
     assert win.sum() > 0.05 * im1.sum() / dot_x.size, \
         "central dot not found at its predicted pixel"
+
+
+def _load_general_cfg():
+    """The reference's primary published BOS sample: 1,000 dots x 500
+    rays, lens_model='general', RK4 through sample-density.nrrd
+    (parameters/sample-parameters.mat; ref run_simulation_02.py:
+    2030-2092).
+
+    Frame note: the committed sample-density.nrrd (z origin 733634.3)
+    only intersects the optical path under the volume-shift variant the
+    reference carries COMMENTED OUT in its loader
+    (trace_rays_through_density_gradients.h:1704 `- 750e3; // +
+    z_offset;` vs the ray shift z_offset + 750e3 at
+    parallel_ray_tracing.cu:2045).  With the shipped 750e3-only shift
+    the volume sits above the dot plane and no ray crosses it — so
+    these tests opt into the commented variant via the
+    ``nrrd_z_origin_shift`` config knob to make the physics check
+    non-vacuous.
+    """
+    cfg = SimulationConfig.from_mat(SAMPLE_PARAMS_MAT)
+    cfg.density_gradients.density_gradient_filename = DENSITY_NRRD
+    cfg.density_gradients.simulate_density_gradients = True
+    setup = camera_setup(cfg)
+    cfg.density_gradients.nrrd_z_origin_shift = 750e3 + setup.z_offset
+    return cfg, setup
+
+
+@needs_ref
+def test_general_lens_sample_routes_to_fast_path():
+    """The flagship general-lens config (no camera rotation, no
+    dispersion/absorbance, 64^3 volume) must take the fast SoA pipeline
+    with the dense fused march."""
+    from photon_tpu.pipeline import can_use_fast_renderer
+    from photon_tpu.volume import load_density_volume
+
+    cfg, setup = _load_general_cfg()
+    vol = load_density_volume(
+        DENSITY_NRRD, z_origin_shift=cfg.density_gradients.nrrd_z_origin_shift)
+    assert setup.lens_model == "general"
+    assert cfg.density_gradients.ray_tracing_algorithm == 2
+    assert can_use_fast_renderer(cfg, setup, vol=vol)
+    from photon_tpu.ops.march_dense import dense_march_supported
+    assert dense_march_supported(vol)
+
+
+@needs_ref
+def test_general_lens_sample_end_to_end_displacements():
+    """run_bos on the general-lens sample config (thick lens + RK4 +
+    sample-density.nrrd, fast path with the fused dense march): per-dot
+    image displacements measured by windowed centroids on the rendered
+    im1/im2 pair match the paraxial oracle through the actual volume.
+
+    CI keeps the full published 1,000-dot pattern but shrinks the
+    per-dot fan (4 sub-particles x 32 rays); PHOTON_SLOW=1 runs the
+    published 100 x 500 fan.
+    """
+    from scipy.spatial import cKDTree
+
+    from photon_tpu.pipeline import run_bos
+    from photon_tpu.volume import load_density_volume
+
+    slow = os.environ.get("PHOTON_SLOW", "0") == "1"
+    cfg, setup = _load_general_cfg()
+    if not slow:
+        cfg.bos_pattern.particle_number_per_grid_point = 4
+        cfg.bos_pattern.lightray_number_per_particle = 32
+
+    res = run_bos(cfg)
+    im1 = np.asarray(res.raw_images["bos_pattern_image_1"], np.float64)
+    im2 = np.asarray(res.raw_images["bos_pattern_image_2"], np.float64)
+    assert im1.sum() > 0 and np.isfinite(im1).all() and np.isfinite(im2).all()
+    # gradients must move energy (volume in-path)
+    assert np.abs(im1 - im2).sum() > 0.01 * im1.sum()
+
+    vol = load_density_volume(
+        DENSITY_NRRD, z_origin_shift=cfg.density_gradients.nrrd_z_origin_shift)
+    dot_x = res.dot_positions["x"]
+    dot_y = res.dot_positions["y"]
+    nx = cfg.camera_design.x_pixel_number
+    ny = cfg.camera_design.y_pixel_number
+    pitch = cfg.camera_design.pixel_pitch
+    M = setup.magnification
+    px = (nx - 1) - ((-dot_x * M) - (-pitch * (nx - 1) / 2)) / pitch
+    py = ((-dot_y * M) - (-pitch * (ny - 1) / 2)) / pitch
+
+    # windowed centroid displacement per dot; skip windows polluted by a
+    # neighboring dot and dots clipped by the frame
+    W = 10
+    crowded = set()
+    for a, b in cKDTree(np.stack([px, py], -1)).query_pairs(2.5 * W):
+        crowded.add(a)
+        crowded.add(b)
+    rr, cc = np.mgrid[-W:W + 1, -W:W + 1]
+    disp, keep = [], []
+    for i in range(len(dot_x)):
+        r0, c0 = int(round(py[i])), int(round(px[i]))
+        if i in crowded or r0 < W or c0 < W or r0 >= ny - W or c0 >= nx - W:
+            continue
+        w1 = im1[r0 - W:r0 + W + 1, c0 - W:c0 + W + 1]
+        w2 = im2[r0 - W:r0 + W + 1, c0 - W:c0 + W + 1]
+        if w1.sum() <= 0 or w2.sum() <= 0:
+            continue
+        c1 = np.array([(w1 * cc).sum(), (w1 * rr).sum()]) / w1.sum()
+        c2 = np.array([(w2 * cc).sum(), (w2 * rr).sum()]) / w2.sum()
+        disp.append(c2 - c1)
+        keep.append(i)
+    disp = np.array(disp)
+    keep = np.array(keep)
+
+    # oracle through the actual volume at the dot centers
+    import dataclasses
+    src = res.sources["bos"]
+    pseudo = dataclasses.replace(
+        src, x=dot_x.astype(np.float64), y=dot_y.astype(np.float64),
+        z=np.full(dot_x.shape, float(np.asarray(src.z).ravel()[0])),
+        radiance=np.ones(dot_x.shape),
+        diameter_index=np.zeros(dot_x.shape, np.int32))
+    pred, hit = _oracle_displacement_px(cfg, setup, vol, pseudo)
+    pred, hit = pred[keep], hit[keep]
+    ok = hit & np.isfinite(disp).all(1)
+    assert ok.sum() >= 20, ok.sum()
+    for axis in range(2):
+        a, b = disp[ok, axis], pred[ok, axis]
+        assert np.abs(b).max() > 0.05       # the scene deflects visibly
+        slope = (a * b).sum() / (b * b).sum()
+        corr = np.corrcoef(a, b)[0, 1]
+        rms = np.sqrt(np.mean((a - b) ** 2))
+        assert abs(slope - 1.0) < 0.12, (axis, slope)
+        assert corr > 0.93, (axis, corr)
+        assert rms < 0.2 * np.abs(b).max() + 0.01, (axis, rms)
 
 
 @needs_ref

@@ -71,5 +71,9 @@ def test_scaling_report_smoke():
                          rays_per_dot=8, sensor=64, reps=1)
     assert rep["device_counts"] == [1, 2]
     assert rep["weak"][2]["rays_per_s"] > 0
-    assert 0 < rep["overhead"][2]["efficiency"]
+    # fwd+bwd sweep (the psum-transpose of the replicated field) ran
+    assert rep["grad"][2]["rays_per_s"] > 0
+    assert rep["grad"][2]["weak_scaling_efficiency"] <= 1.0
+    # the collective isolation is a fraction of wall time in [0, 1)
+    assert 0.0 <= rep["collective"][2]["psum_fraction"] < 1.0
     assert "caveat" in rep
