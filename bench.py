@@ -141,6 +141,65 @@ def bench_piv_mie(reps: int) -> float:
     return source.num_rays / st["median_s"], st
 
 
+def build_vol512(setup, n: int = 512):
+    """A 512^3 device-built volume with the flagship scene's analytic
+    density profile (linear rho in x).
+
+    The field (2.1 GB at 512^3) is constructed ON DEVICE by
+    broadcasting the analytic (W, 4) channel row — the gradients of a
+    linear profile are constant and exactly match volume.gradient_field
+    (central + one-sided stencils are exact on linear data) — so no
+    multi-GB host->device transfer rides the RPC tunnel.
+    """
+    import jax.numpy as jnp
+
+    from photon_tpu.volume import DensityVolume, Z_ORIGIN_SHIFT
+
+    x = np.linspace(-1.5e5, 1.5e5, n)
+    z = np.linspace(setup.object_distance - 5e5,
+                    setup.object_distance - 1e2, n)
+    K = 0.225e-3
+    rho_row = 1.225 + 5.0 * (x - x.min()) / (x.max() - x.min())
+    gx = K * 5.0 / (x.max() - x.min())
+    row = jnp.stack([jnp.full((n,), gx, jnp.float32),
+                     jnp.zeros((n,), jnp.float32),
+                     jnp.zeros((n,), jnp.float32),
+                     jnp.asarray(K * rho_row, jnp.float32)], axis=-1)
+    field = jnp.broadcast_to(row[None, None], (n, n, n, 4))
+    spac = np.array([x[1] - x[0], x[1] - x[0], z[1] - z[0]])
+    origin = np.array([x[0], x[0], z[0] - Z_ORIGIN_SHIFT])
+    return DensityVolume(
+        field=field,
+        min_bound=jnp.asarray(origin, jnp.float32),
+        max_bound=jnp.asarray(origin + (n - 1.0) * spac, jnp.float32),
+        grid_spacing=jnp.asarray(spac, jnp.float32),
+        data_min=float(K * 1.225),
+        step_size=float(spac.min()), max_step_size=float(spac.max()))
+
+
+def bench_vol512(cfg, setup, source, r1, r2, reps: int):
+    """Large-volume flagship: the same BOS scene marched through a
+    512^3 volume — the windowed fused march (ops.march_window), where
+    round 3 fell off a 34x cliff to the XLA tube path (9.3M rays/s)."""
+    from photon_tpu.models.render_fast import render_image_fast
+
+    vol = build_vol512(setup)
+
+    def run():
+        img = render_image_fast(cfg, setup, source, r1, r2, vol=vol)
+        img.block_until_ready()
+        return img
+
+    t0 = time.time()
+    img = run()
+    print(f"# vol512 compile+first: {time.time() - t0:.1f}s, image sum "
+          f"{float(img.sum()):.4g}", file=sys.stderr)
+    st = time_reps(run, reps)
+    print(f"# vol512 times: {[f'{t:.3f}' for t in st['times_s']]}",
+          file=sys.stderr)
+    return source.num_rays / st["median_s"], st
+
+
 def main() -> int:
     from photon_tpu.models.render_fast import render_image_fast
 
@@ -239,6 +298,18 @@ def main() -> int:
         except Exception as e:
             record["piv_mie_forward_rays_per_s"] = None
             print(f"# piv bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # large-volume flagship: 512^3 windowed fused march
+    if os.environ.get("PHOTON_BENCH_512", "1") == "1":
+        try:
+            rate512, st512 = bench_vol512(cfg, setup, source, r1, r2,
+                                          max(reps // 2, 3))
+            record["vol512_windowed_rays_per_s"] = rate512
+            record["vol512_stats"] = st512
+        except Exception as e:
+            record["vol512_windowed_rays_per_s"] = None
+            print(f"# vol512 bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     # march-variant shootout (production dense matmul march vs the

@@ -182,13 +182,14 @@ def _chief_geometry(vol, xs, ys, zs, inv_rot, z_offset, image_distance):
 
 
 def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
-                   noise_key=None, *,
+                   noise_key=None, window_arrays=None, *,
                    params: RenderParams, lens_params, rotated: bool,
                    algorithm: int, patch: int,
                    particles_per_chunk, march_particles_per_chunk,
                    chief_march: bool, per_ray_splat: bool,
                    interpolation_scheme: int = 1,
-                   dense_march: bool = True, march_substeps=None):
+                   dense_march: bool = True, march_substeps=None,
+                   window_shape=None):
     """arrays -> raw image; all keyword args are trace-time static."""
     P = xs.shape[0]
     R = r1.shape[0]
@@ -208,6 +209,17 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
         if chief_march and dense_march:
             deltas6 = chief_deltas_dense(
                 vol, *chief, algorithm=algorithm,
+                interpolation_scheme=interpolation_scheme,
+                substeps=march_substeps)
+        elif chief_march and window_arrays is not None:
+            # large-volume windowed fused march (ops.march_window):
+            # per-block slab windows planned host side from the straight
+            # chief tracks; per-ray cost independent of volume size
+            from photon_tpu.ops.march_window import (WindowPlan,
+                                                     chief_deltas_windowed)
+            plan = WindowPlan(*window_arrays, *window_shape)
+            deltas6 = chief_deltas_windowed(
+                vol, plan, *chief, algorithm=algorithm,
                 interpolation_scheme=interpolation_scheme,
                 substeps=march_substeps)
         elif chief_march:
@@ -420,11 +432,13 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
 _STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
                  "particles_per_chunk", "march_particles_per_chunk",
                  "chief_march", "per_ray_splat",
-                 "interpolation_scheme", "dense_march", "march_substeps")
+                 "interpolation_scheme", "dense_march", "march_substeps",
+                 "window_shape")
 
 _render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
 
 _sharded_cache = {}
+_window_plan_cache = {}
 
 
 def _get_sharded_render(mesh, statics: dict, reduce: bool = True):
@@ -513,6 +527,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     if not _axis_aligned(setup):
         raise NotImplementedError("fast path requires the axis-aligned "
                                   "single-lens train")
+    auto_march = dense_march is None
     if dense_march is None:
         dense_march = vol is not None and dense_march_supported(vol)
     else:
@@ -595,13 +610,74 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         mie_irr = irr_l + frac * (irr_u - irr_l)
         rad = rad * mie_irr      # fold per-particle irradiance into radiance
 
+    # large volumes (beyond the dense-march slab cap): plan the windowed
+    # fused march host side from the straight chief tracks (numpy twin
+    # of _chief_geometry; ops.march_window).  Falls back to the tube
+    # path when the plan declines (pathological spread or no profit).
+    def chief_host():
+        """Host (numpy, f64) twin of _chief_geometry's world-frame chief
+        states — used by decisions that must be static at trace time
+        (window planning, substep control)."""
+        shift = float(params.z_offset) + 750e3
+        dden = params.image_distance - zs.astype(np.float64)
+        ctx = xs / dden
+        cty = ys / dden
+        cinv = 1.0 / np.sqrt(ctx * ctx + cty * cty + 1.0)
+        dir_cam = np.stack([ctx * cinv, cty * cinv, -cinv])
+        pos_cam = np.stack([xs.astype(np.float64), ys.astype(np.float64),
+                            zs.astype(np.float64) - shift])
+        inv_rot64 = np.asarray(setup.inverse_rotation_matrix, np.float64)
+        dw = inv_rot64 @ dir_cam
+        pw = inv_rot64 @ pos_cam
+        return pw, dw
+
+    window_arrays = None
+    window_shape = None
+    if vol is not None and chief_march and not dense_march \
+            and auto_march and mesh is None:
+        from photon_tpu.ops.march_window import plan_windows
+        # the plan is a host-side computation over all chief tracks
+        # (argsort + device bounds sweep, ~1-3 s at bench scale) and is
+        # pure in (volume geometry, source positions) — cache it across
+        # render calls of the same scene (the batch pipeline and the
+        # bench re-render identical scenes)
+        key = (id(vol.field), vol.field.shape, xs.shape,
+               xs.tobytes()[:256], ys.tobytes()[:256], zs.tobytes()[:256])
+        plan = _window_plan_cache.get(key)
+        if plan is None and key not in _window_plan_cache:
+            pw, dw = chief_host()
+            plan = plan_windows(vol, pw[0], pw[1], pw[2],
+                                dw[0], dw[1], dw[2])
+            if len(_window_plan_cache) > 8:
+                _window_plan_cache.clear()
+            _window_plan_cache[key] = plan
+        if plan is not None:
+            window_arrays = (jnp.asarray(plan.perm),
+                             jnp.asarray(plan.valid),
+                             jnp.asarray(plan.ox), jnp.asarray(plan.oy))
+            window_shape = (int(plan.win_w), int(plan.win_h))
+
+    # algorithm 3 (the reference's adaptive RK45): pick the fixed
+    # substep count from the data instead of hardcoding 2 — a
+    # Richardson error estimate on a 1024-chief subsample
+    # (ops.march_dense.choose_substeps); static per compile
+    if vol is not None and chief_march and algorithm == 3 \
+            and march_substeps is None and (dense_march
+                                            or window_shape is not None):
+        from photon_tpu.ops.march_dense import choose_substeps
+        pw, dw = chief_host()
+        march_substeps = choose_substeps(
+            vol, pw[0], pw[1], pw[2], dw[0], dw[1], dw[2],
+            interpolation_scheme=int(interpolation_scheme))
+
     statics = dict(params=params, lens_params=lens_params, rotated=rotated,
                    algorithm=algorithm, patch=patch,
                    particles_per_chunk=particles_per_chunk,
                    march_particles_per_chunk=march_particles_per_chunk,
                    chief_march=chief_march, per_ray_splat=per_ray_splat,
                    interpolation_scheme=int(interpolation_scheme),
-                   dense_march=dense_march, march_substeps=march_substeps)
+                   dense_march=dense_march, march_substeps=march_substeps,
+                   window_shape=window_shape)
 
     if vol is not None:
         # array-ify the float leaves so the volume shards/jits uniformly
@@ -626,4 +702,5 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                   noise_key if noise_key is not None else jax.random.key(0))
 
     return _render_fast_jit(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
-                            noise_key, **statics)
+                            noise_key, window_arrays=window_arrays,
+                            **statics)

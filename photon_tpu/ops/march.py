@@ -341,12 +341,22 @@ class _Recorder:
 
 
 def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
-                recorder: Optional[_Recorder] = None):
+                recorder: Optional[_Recorder] = None,
+                differentiable: bool = False,
+                num_steps: Optional[int] = None):
     """Vectorized adaptive RK45 (ref: :304-718, with the refractive-index
     bug corrected — see module docstring).
 
     Per-ray adaptive step h; a stage leaving the volume retries with
     h/10 until h < 0.1 * base step, then the ray freezes.
+
+    ``differentiable=True`` replaces the while_loop with a fixed
+    ``num_steps``-trip rematerialized ``lax.scan`` of the SAME body
+    (per-step accept/reject masks carry the adaptivity), enabling
+    reverse-mode AD through the adaptive integrator — "adaptive" and
+    "differentiable" are no longer mutually exclusive.  Finished rays
+    idle under their masks; ``num_steps`` must cover the scene's
+    iteration demand (the default matches the while_loop's cap).
     """
     tol = jnp.float32(1e-3)
     n0 = jnp.float32(1.000277)
@@ -408,7 +418,14 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
         Rmax = jnp.maximum(
             jnp.max(jnp.abs(y4 - y5), axis=-1),
             jnp.max(jnp.abs(z4 - z5), axis=-1)) / h
-        s_fac = 0.84 * (tol / jnp.maximum(Rmax, 1e-30)) ** 0.25
+        # the fractional power and the step-size chain are control
+        # quantities: detach them so reverse-mode AD neither pays their
+        # O(x^-0.75) curvature nor propagates h-adaptation cotangents
+        # (the adaptive schedule is treated as data-independent at the
+        # linearization point — standard for differentiable adaptive
+        # integrators)
+        s_fac = 0.84 * (tol / jax.lax.stop_gradient(
+            jnp.maximum(Rmax, 1e-30))) ** 0.25
 
         # a stage left the volume: retry with h/10 (freeze if h too small)
         retry = active & ~stage_ok
@@ -420,8 +437,10 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
 
         new_pos = jnp.where(accept[:, None], y4, pos)
         new_dir_raw = z4 / refr[:, None]
-        new_dir = new_dir_raw / jnp.linalg.norm(new_dir_raw, axis=-1,
-                                                keepdims=True)
+        nrm = jnp.sqrt(jnp.maximum(
+            jnp.sum(new_dir_raw * new_dir_raw, axis=-1, keepdims=True),
+            1e-30))
+        new_dir = new_dir_raw / nrm
         new_dir = jnp.where(accept[:, None], new_dir, direction)
 
         # refresh n at the accepted position; freeze rays that exit
@@ -431,9 +450,10 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
 
         s_acc = jnp.minimum(s_fac, 5.0)
         s_rej = jnp.maximum(s_fac, 0.1)
-        new_h = jnp.where(accept, h * s_acc,
-                          jnp.where(reject, h * s_rej,
-                                    jnp.where(retry, h_retry, h)))
+        new_h = jax.lax.stop_gradient(
+            jnp.where(accept, h * s_acc,
+                      jnp.where(reject, h * s_rej,
+                                jnp.where(retry, h_retry, h))))
         new_active = active & ~freeze_retry & ~exited
         return (new_pos, new_dir, new_h, new_refr, new_active, it + 1, rec)
 
@@ -444,6 +464,14 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
     init = (rays_pos, rays_dir, h0, refr0,
             jnp.ones((N,), dtype=bool), jnp.int32(0),
             recorder.init() if recorder is not None else ())
+    if differentiable:
+        if num_steps is None:
+            num_steps = max_iters
+        ckpt_body = jax.checkpoint(lambda c, _: (body(c), None))
+        carry, _ = jax.lax.scan(ckpt_body, init, None,
+                                length=int(num_steps))
+        pos, direction = carry[0], carry[1]
+        return pos, direction, None
     pos, direction, _, _, _, _, rec = jax.lax.while_loop(cond, body, init)
     return pos, direction, (recorder.finalize(rec)
                             if recorder is not None else None)
@@ -471,10 +499,12 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
     packed field (a (D*H*W, 4) array) so gradients can flow to the density
     field in inverse problems.
 
-    ``differentiable=True`` switches the Euler/RK4 loop to a fixed
-    ``num_steps``-trip ``lax.scan`` with per-step rematerialization,
-    enabling reverse-mode AD at O(sqrt-ish) memory; default num_steps is
-    the volume diagonal over the step size plus margin.
+    ``differentiable=True`` switches the Euler/RK4 loop — and the
+    adaptive RK45 (algorithm 3) — to a fixed ``num_steps``-trip
+    ``lax.scan`` with per-step rematerialization, enabling reverse-mode
+    AD at O(sqrt-ish) memory; default num_steps is the volume diagonal
+    over the step size plus margin (3x for RK45: accepts plus
+    rejects/retries).
 
     ``record_steps``: record the first ``record_steps`` march positions
     and directions of the first ``record_rays`` rays — the reference's
@@ -535,8 +565,12 @@ def march_rays(vol: DensityVolume, rays: RayBundle, *,
             (outside & hit)[:, None],
             jnp.clip(pos0, vol.min_bound + eps_b, vol.max_bound - eps_b),
             pos0)
+        if differentiable and num_steps is None:
+            num_steps = int(min(3.0 * diag / vol.step_size + 64, 8192))
         pos_f, dir_f, rec = _rk45_march(pos0, dir0, geom, sample, max_iters,
-                                        recorder=recorder)
+                                        recorder=recorder,
+                                        differentiable=differentiable,
+                                        num_steps=num_steps)
         pos_f = jnp.where(skip[:, None], rays.pos, pos_f)
         dir_f = jnp.where(skip[:, None], rays.dir, dir_f)
         bundle = RayBundle(pos_f, dir_f, rays.wavelength, rays.radiance)

@@ -397,6 +397,71 @@ def march_chief_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
     return x, y, z, dirx_f, diry_f, dirz_f
 
 
+def choose_substeps(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
+                    interpolation_scheme: int = 1, budget: float = 0.01,
+                    max_substeps: int = 16, sample: int = 1024) -> int:
+    """Error-controlled substep count for algorithm 3 (the RK45 stand-in).
+
+    The reference's algorithm 3 is tolerance-adaptive per ray
+    (trace_rays_through_density_gradients.h:304-718, tol 1e-3 with
+    accept/reject); the dense march uses FIXED RK4 substeps per slab.
+    This picks the count from the data: march a 1024-chief subsample at
+    2 and 4 substeps, Richardson-estimate the 4-substep deflection
+    error (RK4 is O(h^4): err(4) ~ |d4 - d2| / 15), and scale to the
+    budget (relative to the largest deflection, the reference's
+    acceptance currency).  Runs two tiny device marches, compiled once
+    per volume shape; called host-side where ``substeps`` must become a
+    static kernel parameter.
+    """
+    import numpy as np
+
+    P = np.asarray(xs).shape[0]
+    if P > sample:
+        idx = np.linspace(0, P - 1, sample).astype(np.int64)
+    else:
+        idx = np.arange(P)
+    sub = [jnp.asarray(np.asarray(a, np.float32)[idx])
+           for a in (xs, ys, zs, dcx, dcy, dcz)]
+
+    if dense_march_supported(vol):
+        def marcher(substeps):
+            return march_chief_dense(
+                vol, *sub, algorithm=3,
+                interpolation_scheme=interpolation_scheme,
+                substeps=substeps)
+    else:
+        # beyond the dense cap: probe through the windowed march on a
+        # subsample-local plan (same integrator semantics)
+        from photon_tpu.ops.march_window import (march_chief_windowed,
+                                                 plan_windows)
+        plan = plan_windows(vol, *[np.asarray(a) for a in sub],
+                            require_profit=False)
+        if plan is None:
+            return 2
+        def marcher(substeps):
+            return march_chief_windowed(
+                vol, plan, *sub, algorithm=3,
+                interpolation_scheme=interpolation_scheme,
+                substeps=substeps)
+
+    def exit_dirs(substeps):
+        r = marcher(substeps)
+        return np.stack([np.asarray(r[3]), np.asarray(r[4]),
+                         np.asarray(r[5])], -1)
+
+    d2 = exit_dirs(2)
+    d4 = exit_dirs(4)
+    defl = np.linalg.norm(
+        d4 - np.stack([np.asarray(s) for s in sub[3:6]], -1), axis=1)
+    scale = max(float(defl.max()), 1e-12)
+    err4 = float(np.linalg.norm(d4 - d2, axis=1).max()) / 15.0 / scale
+    if err4 <= budget:
+        return 2 if err4 * (4.0 / 2.0) ** 4 <= budget else 4
+    # err(n) ~ err4 * (4/n)^4  ->  n >= 4 * (err4/budget)^(1/4)
+    n = int(np.ceil(4.0 * (err4 / budget) ** 0.25))
+    return int(min(max(n, 4), max_substeps))
+
+
 def chief_deltas_dense(vol: DensityVolume, xs, ys, zs, dcx, dcy, dcz, *,
                        algorithm: int = 2, interpolation_scheme: int = 1,
                        field=None, use_pallas_sampler: Optional[bool] = None,

@@ -1,0 +1,508 @@
+"""Windowed fused march: the dense chief-ray march at ANY volume size.
+
+The fused dense march (ops.march_dense_fused) contracts each ray block
+against the FULL (W*4, 2H) slab pair — O(W*H) MXU work per ray per
+stage, affordable to ~256^2 slabs and hopeless at 512^2 (a 16x per-ray
+blowup; the round-3 fallback was the XLA voxel-tube march at ~9 M
+rays/s, a 34x cliff).  This module removes the volume-size term from
+the per-ray cost entirely:
+
+* rays are sorted in serpentine tile order of their straight-track
+  position at mid-volume depth (host side, once per scene) so each
+  1024-ray block is LATERALLY COMPACT — chief rays of neighboring particles
+  converge toward the same lens center, so a block's footprint stays a
+  few dozen voxels across the whole traversal;
+* for each (ray block g, slab s) the kernel DMAs only a static
+  (Ww*4, 2*Hw) WINDOW of the slab pair from HBM into VMEM scratch, at
+  a per-(g, s) origin that follows the block's track (planned host
+  side from the straight chief lines — the marched rays deflect by
+  micro-radians, bounded by the plan's margin); the [lo | hi] halves
+  are two DMA slices;
+* interpolation weights are built in LOCAL window coordinates.  The
+  clip semantics of the dense weights are position-invariant (a clamped
+  ray is assigned to a border window, where the local clip coincides
+  with the global one); the cubic border FOLDS are gated by whether the
+  window touches the global border.
+
+Per-ray cost is then O(Ww*Hw) regardless of volume size — with ~64^2
+windows it equals the 64^3 dense march's, at any W x H.  The march
+itself (z-slab planes, integrator menu, entry advance, in-band gating)
+is bit-compatible with march_dense_fused / march_chief_dense.
+
+Contract: the marched rays must stay within the plan's margin
+(_MARGIN - _SUPPORT voxels) of their straight chief track — true for
+any physical BOS/PIV medium (micro-radian deflections, micron-scale
+lateral drift).  Media refractive enough to bend chief rays multiple
+voxels sideways violate the plan and must route through the exact
+marcher.
+
+Forward-only: gradients at >256^2 route through the per-stage paths
+(an inverse problem at 512^3 carries a 2 GB field gradient — out of
+scope for the fused kernels this round).
+
+Reference parity: evaluation of the eikonal marcher C13 for volumes
+beyond VMEM (SURVEY.md; trace_rays_through_density_gradients.h:
+1455-1544 marches any texture size); routing in models.render_fast.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from photon_tpu.ops.march_dense_pallas import _b3, _dot3
+
+_B = 1024                 # default rays per block (plan may shrink)
+_SUPPORT = 3              # cubic tap reach (+1 drift/rounding margin)
+_MARGIN = 6               # window slack: support + deflection + rounding
+# window VMEM budget: (Ww*4, 2*Hw) f32 x 3 bf16-split copies
+_WIN_VMEM_MAX = 6 << 20
+
+
+class WindowPlan(NamedTuple):
+    """Host-side plan: ray permutation + per-(block, slab) windows."""
+
+    perm: np.ndarray          # (G*B,) int32 ray index per padded slot
+    valid: np.ndarray         # (G*B,) bool — False for padded slots
+    ox: np.ndarray            # (G, S) int32 window x-origin (voxels)
+    oy: np.ndarray            # (G, S) int32 window y-origin (voxels)
+    win_w: int                # static window width (voxels)
+    win_h: int                # static window height (voxels)
+
+
+def _serpentine_order(ux_mid, uy_mid, w, h, block):
+    """Sort rays by serpentine (boustrophedon) tile order.
+
+    Unlike a Morton sort (whose curve jumps across quadrant boundaries,
+    so a contiguous block of sorted rays can span the full axis), the
+    serpentine tile walk makes CONSECUTIVE tiles spatially adjacent:
+    any contiguous ray block straddles at most one tile boundary, so
+    its footprint is bounded by two adjacent tiles plus track drift.
+    Tile side ~ sqrt(block / density) targets one to two tiles per
+    block."""
+    P = ux_mid.shape[0]
+    span_x = max(float(ux_mid.max() - ux_mid.min()), 1.0)
+    span_y = max(float(uy_mid.max() - uy_mid.min()), 1.0)
+    density = max(P / (span_x * span_y), 1e-12)
+    # anisotropic tiles: a block's y-extent is bounded by 2*Ty (at most
+    # one row straddle) and its x-extent by ~block/(density*Ty) + Tx
+    # (the run of tiles it spans along the row) — balancing the two
+    # gives Ty = sqrt(block / (2 density)), with Tx small so the x run
+    # quantizes finely
+    Ty = max(8, int(np.sqrt(block / (2.0 * density))))
+    Tx = max(4, Ty // 3)
+    tx = np.floor(ux_mid / Tx).astype(np.int64)
+    ty = np.floor(uy_mid / Ty).astype(np.int64)
+    ntx = max(1, -(-w // Tx))
+    serp_x = np.where(ty % 2 == 0, tx, ntx - 1 - tx)
+    return np.argsort(ty * ntx + serp_x, kind="stable").astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9))
+def _track_bounds(xs, ys, zs, dcx, dcy, dcz, valid, z_planes, geom, block):
+    """Per-(block, slab) straight-track bounds: (G, S) min/max of the
+    clamped voxel coordinates (device-side twin of the old host sweep)."""
+    min_x0, min_y0, sx, sy, w, h = geom
+    t = jnp.maximum((z_planes[None, :] - zs[:, None]) / dcz[:, None], 0.0)
+    ux = jnp.clip(0.5 + (xs[:, None] + dcx[:, None] * t - min_x0) / sx,
+                  0.0, w - 1.0)
+    uy = jnp.clip(0.5 + (ys[:, None] + dcy[:, None] * t - min_y0) / sy,
+                  0.0, h - 1.0)
+    G = xs.shape[0] // block
+    S = z_planes.shape[0]
+    ux = ux.reshape(G, block, S)
+    uy = uy.reshape(G, block, S)
+    vm = valid.reshape(G, block, 1)
+    big = jnp.float32(1e9)
+    return (jnp.where(vm, ux, big).min(1), jnp.where(vm, ux, -big).max(1),
+            jnp.where(vm, uy, big).min(1), jnp.where(vm, uy, -big).max(1))
+
+
+def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
+                 block: Optional[int] = None,
+                 require_profit: bool = True) -> Optional[WindowPlan]:
+    """Build the sort + window plan from straight chief tracks (numpy).
+
+    Returns None when windows would not beat the dense march (volume
+    already small) or would not fit the VMEM budget (pathologically
+    spread blocks) — callers then fall back to the tube path.
+    All inputs are HOST arrays: the plan must be computed before jit
+    (window origins become static-shaped operands of the kernel).
+    """
+    w, h, d = (int(s) for s in vol.sizes)
+    S = d - 1
+    mn = np.asarray(vol.min_bound, np.float64)
+    mx = np.asarray(vol.max_bound, np.float64)
+    sx = (mx[0] - mn[0]) / (w - 2.0)
+    sy = (mx[1] - mn[1]) / (h - 2.0)
+    z_min, z_max = mn[2], mx[2]
+    dz_slab = (z_max - z_min) / (d - 2.0)
+
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    zs = np.asarray(zs, np.float64)
+    dcx = np.asarray(dcx, np.float64)
+    dcy = np.asarray(dcy, np.float64)
+    dcz = np.asarray(dcz, np.float64)
+    P = xs.shape[0]
+
+    # the fused kernel's ux/uy convention: 0.5 + (x - min)/spacing.
+    # Mid-plane positions (host, one plane) drive the sort; the FULL
+    # (P, S) track-bound sweep runs ON DEVICE (_track_bounds below) —
+    # at bench scale it is ~60M ops, 20 s of host numpy vs milliseconds
+    # on the accelerator, and the plan runs per render call.
+    ks = np.arange(S - 1, -1, -1, dtype=np.float64)
+    z_planes = np.maximum(z_min + (ks - 0.5) * dz_slab, z_min)   # (S,)
+    safe_dcz = np.where(dcz < 0, dcz, -1.0)
+    mid = S // 2
+    t_mid = np.maximum((z_planes[mid] - zs) / safe_dcz, 0.0)
+    ux_mid = np.clip(0.5 + (xs + dcx * t_mid - mn[0]) / sx, 0.0, w - 1.0)
+    uy_mid = np.clip(0.5 + (ys + dcy * t_mid - mn[1]) / sy, 0.0, h - 1.0)
+
+    # serpentine tile sort on mid-volume position.  Block size scales
+    # with ray density: a block's lateral footprint is ~block/density
+    # voxels^2 and sets the window area (= per-ray MXU cost), so sparse
+    # scenes take smaller blocks (lane floor 256).
+    if block is None:
+        span_x = max(float(ux_mid.max() - ux_mid.min()), 1.0)
+        span_y = max(float(uy_mid.max() - uy_mid.min()), 1.0)
+        density = P / (span_x * span_y)
+        block = 1024 if density >= 1.0 else (512 if density >= 0.25
+                                             else 256)
+    order = _serpentine_order(ux_mid, uy_mid, w, h, block)
+
+    G = -(-P // block)
+    pad = G * block - P
+    perm = np.concatenate([order, np.zeros(pad, np.int32)])
+    valid = np.concatenate([np.ones(P, bool), np.zeros(pad, bool)])
+
+    # per-(block, slab) track bounds, computed on device
+    geom = (float(mn[0]), float(mn[1]), float(sx), float(sy),
+            float(w), float(h))
+    min_x, max_x, min_y, max_y = (
+        np.asarray(a) for a in _track_bounds(
+            jnp.asarray(xs[perm], jnp.float32),
+            jnp.asarray(ys[perm], jnp.float32),
+            jnp.asarray(zs[perm], jnp.float32),
+            jnp.asarray(dcx[perm], jnp.float32),
+            jnp.asarray(dcy[perm], jnp.float32),
+            jnp.asarray(safe_dcz[perm], jnp.float32),
+            jnp.asarray(valid), jnp.asarray(z_planes, jnp.float32),
+            geom, block))
+
+    ext_x = float((max_x - min_x).max())
+    ext_y = float((max_y - min_y).max())
+    # window sizes: extent + taps + drift margin, rounded to the VMEM
+    # tile granularities (rows = Ww*4 mult of 8 -> Ww even; Hw in
+    # 32-lane steps — the lo/hi halves are separate buffers, so no
+    # 128-lane column-offset constraint)
+    # HBM DMA alignment (the pair tensor is the field's natural
+    # (D, H, W*4) reshape): x rides the 128-lane axis -> ox and Ww in
+    # 32-voxel steps (x4 channels = 128 lanes); y rides the 8-sublane
+    # row axis -> oy and Hw in 8-voxel steps.  Origins snap DOWN, so
+    # the window carries the snap slack on top of extent + margins.
+    win_w = min(w, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
+    win_h = min(h, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
+    if win_w * 4 * 2 * win_h * 4 * 3 > _WIN_VMEM_MAX:
+        return None
+    if require_profit and win_w * win_h * 4 >= w * h:
+        return None                    # windows would not beat dense
+
+    # min-edge-based snapped origins: floor(min - support) to the tile
+    # grid guarantees the left taps, and the window's size slack (the
+    # +31/+7 terms above) guarantees the right — a center-based origin
+    # can snap OUT of the valid interval when rounding eats the slack
+    ox = np.clip((np.floor(min_x - _SUPPORT) // 32) * 32,
+                 0, w - win_w).astype(np.int32)
+    oy = np.clip((np.floor(min_y - _SUPPORT) // 8) * 8,
+                 0, h - win_h).astype(np.int32)
+
+    # exact coverage check incl. tap support (must hold by construction;
+    # belt and braces against rounding)
+    bad = ((min_x - _SUPPORT < ox - 1e-6) & (ox > 0)) \
+        | ((max_x + _SUPPORT > ox + win_w - 1 + 1e-6)
+           & (ox + win_w < w)) \
+        | ((min_y - _SUPPORT < oy - 1e-6) & (oy > 0)) \
+        | ((max_y + _SUPPORT > oy + win_h - 1 + 1e-6)
+           & (oy + win_h < h))
+    if bad.any():
+        return None
+    return WindowPlan(perm=perm, valid=valid, ox=ox, oy=oy,
+                      win_w=win_w, win_h=win_h)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _weights_T_win(u_row, n: int, scheme: int, gl, gr):
+    """Window-local dense weights: _weights_T with the cubic border
+    folds gated by whether the window touches the global border (gl/gr
+    are 0/1 scalars).  The clip semantics need no gating — a globally
+    clamped ray is assigned to a border window where local and global
+    clips coincide, and inner-window rays never reach the local clip
+    (plan invariant)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+    if scheme == 2:
+        uc = jnp.clip(u_row, -2.0, n + 1.0)
+        wt = _b3(uc - iota)
+        fold_l = _b3(uc + 1.0) + _b3(uc + 2.0) + _b3(uc + 3.0)
+        fold_r = _b3(uc - n) + _b3(uc - (n + 1.0)) + _b3(uc - (n + 2.0))
+        wt = wt + jnp.where(iota == 0.0, gl * fold_l, 0.0) \
+            + jnp.where(iota == n - 1.0, gr * fold_r, 0.0)
+        return wt
+    uc = jnp.clip(u_row, 0.0, n - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(uc - iota))
+
+
+def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
+                   out_ref, scratch, win, sem,
+                   *, W: int, H: int, S: int, Ww: int, Hw: int, B: int,
+                   scheme: int, algorithm: int, substeps: int):
+    """One (ray block g, slab s) step of the windowed march.
+
+    pairs_hbm: the field's natural (D, H, W*4) reshape in ANY/HBM
+    space (zero-copy even at 512^3); the kernel DMAs the (Hw, Ww*4) lo
+    and hi halves of its window into ``win``.
+    ox_ref/oy_ref: (G, S) SMEM window origins (voxels).
+    """
+    g = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        scratch[:] = state_ref[0]
+
+    # slab step s consumes field depth rows S-1-s (lo) and S-s (hi) —
+    # no packed duplicate of the multi-GB field is ever materialized.
+    # The plan guarantees the tile alignments; Mosaic needs the proofs
+    # spelled out via multiple_of.
+    ox = ox_ref[g, s]
+    oy = oy_ref[g, s]
+    ox4 = pl.multiple_of(ox * 4, 128)
+    oy8 = pl.multiple_of(oy, 8)
+    lo_dma = pltpu.make_async_copy(
+        pairs_hbm.at[S - 1 - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+        win.at[0], sem)
+    hi_dma = pltpu.make_async_copy(
+        pairs_hbm.at[S - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+        win.at[1], sem)
+    lo_dma.start()
+    hi_dma.start()
+
+    min_x = params_ref[0]
+    min_y = params_ref[1]
+    sx = params_ref[2]
+    sy = params_ref[3]
+    z_min = params_ref[4]
+    dz_slab = params_ref[5]
+
+    x = scratch[0:1]
+    y = scratch[1:2]
+    z = scratch[2:3]
+    Tx = scratch[3:4]
+    Ty = scratch[4:5]
+    Tz = scratch[5:6]
+    inside = scratch[6:7]
+
+    ks = jnp.float32(S - 1) - s.astype(jnp.float32)
+    z_plane = jnp.maximum(z_min + (ks - 0.5) * dz_slab, z_min)
+    in_band = (inside > 0.0) & (z > z_plane)
+    hstep = -(z - z_plane)
+
+    oxf = ox.astype(jnp.float32)
+    oyf = oy.astype(jnp.float32)
+    gl_x = jnp.where(ox == 0, 1.0, 0.0)
+    gr_x = jnp.where(ox + Ww == W, 1.0, 0.0)
+    gl_y = jnp.where(oy == 0, 1.0, 0.0)
+    gr_y = jnp.where(oy + Hw == H, 1.0, 0.0)
+
+    lo_dma.wait()
+    hi_dma.wait()
+
+    def rhs(px, py, tx, ty, tz, z_at):
+        uz = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
+        ux = 0.5 + (px - min_x) / sx - oxf
+        uy = 0.5 + (py - min_y) / sy - oyf
+        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x)
+        wy = _weights_T_win(uy, Hw, scheme, gl_y, gr_y)
+        dn0 = (((0,), (0,)), ((), ()))   # win (2Hw, Ww*4) x wy (2Hw, B)
+        # one full-depth contraction: the (2, Hw, Ww4) buffer reads as
+        # (2Hw, Ww4) rows [lo | hi], halving the MXU pass count vs two
+        # half-K dots (same MACs, deeper systolic fill)
+        wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
+        A = _dot3(win[:].reshape(2 * Hw, Ww * 4), wy_cat, dn0)
+        s4 = jnp.sum(A.reshape(Ww, 4, B) * wx[:, None, :], axis=0)
+        gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
+        inv_tz = 1.0 / tz
+        gfac = (1.0 + nm1) * inv_tz
+        return (tx * inv_tz, ty * inv_tz, gfac * gx, gfac * gy, gfac * gz)
+
+    def rk4_sub(st, hh, z0):
+        k1 = rhs(*st, z0)
+        h2 = hh / 2.0
+        k2 = rhs(*(tuple(v + h2 * k for v, k in zip(st, k1))), z0 + h2)
+        k3 = rhs(*(tuple(v + h2 * k for v, k in zip(st, k2))), z0 + h2)
+        k4 = rhs(*(tuple(v + hh * k for v, k in zip(st, k3))), z0 + hh)
+        s6 = hh / 6.0
+        return tuple(v + s6 * (a + 2 * b + 2 * c + dd)
+                     for v, a, b, c, dd in zip(st, k1, k2, k3, k4))
+
+    st = (x, y, Tx, Ty, Tz)
+    if algorithm == 1:
+        k1 = rhs(x, y, Tx, Ty, Tz, z)
+        new = tuple(v + hstep * k for v, k in zip(st, k1))
+    elif substeps == 1:
+        new = rk4_sub(st, hstep, z)
+    else:
+        hs = hstep / substeps
+        new = st
+        for si in range(substeps):
+            new = rk4_sub(new, hs, z + si * hs)
+
+    sel = in_band
+    scratch[0:1] = jnp.where(sel, new[0], x)
+    scratch[1:2] = jnp.where(sel, new[1], y)
+    scratch[2:3] = jnp.where(sel, jnp.full_like(z, 1.0) * z_plane, z)
+    scratch[3:4] = jnp.where(sel, new[2], Tx)
+    scratch[4:5] = jnp.where(sel, new[3], Ty)
+    scratch[5:6] = jnp.where(sel, new[4], Tz)
+
+    @pl.when(s == S - 1)
+    def _():
+        out_ref[0] = scratch[:]
+
+
+def _window_call(static, params, ox, oy, state, pairs):
+    W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret = static
+    G = state.shape[0]
+    kern = functools.partial(
+        _window_kernel, W=W, H=H, S=S, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
+        algorithm=algorithm, substeps=substeps)
+    return pl.pallas_call(
+        kern,
+        grid=(G, S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.float32),
+                        pltpu.VMEM((2, Hw, Ww * 4), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(params, ox, oy, state, pairs)
+
+
+def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
+                         *, algorithm: int = 2,
+                         interpolation_scheme: int = 1,
+                         substeps=None, interpret=None):
+    """Windowed twin of march_dense_fused.march_chief_fused.
+
+    ``plan`` comes from :func:`plan_windows` on the SAME (host) chief
+    states.  Same contract: (P,) chief states in, post-traversal
+    (x, y, z, dirx, diry, dirz) out; rays missing the volume pass
+    through unchanged.  Forward-only (see module docstring).
+    """
+    from photon_tpu.ops.march_dense import bspline_prefilter_jax
+
+    w, h, d = (int(s) for s in vol.sizes)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    field = vol.field
+    if interpolation_scheme == 2:
+        field = bspline_prefilter_jax(field)
+
+    sx = (vol.max_bound[0] - vol.min_bound[0]) / (w - 2.0)
+    sy = (vol.max_bound[1] - vol.min_bound[1]) / (h - 2.0)
+    z_max = vol.max_bound[2]
+    z_min = vol.min_bound[2]
+    dz_slab = (z_max - z_min) / (d - 2.0)
+
+    t_entry = (z_max - zs) / dcz
+    above = zs >= z_max
+    adv = jnp.where(above, jnp.maximum(t_entry, 0.0), 0.0)
+    x = xs + dcx * adv
+    y = ys + dcy * adv
+    z = jnp.where(above, jnp.full_like(zs, 1.0) * z_max, zs + dcz * adv)
+    inside = (z <= z_max) & (z >= z_min) & (dcz < 0)
+
+    n0 = 1.0 + vol.data_min
+    Tx = n0 * dcx
+    Ty = n0 * dcy
+    Tz = n0 * dcz
+
+    perm = jnp.asarray(plan.perm)
+    vmask = jnp.asarray(plan.valid)
+    G = plan.ox.shape[0]
+    B = plan.perm.shape[0] // G
+
+    def blocked(a, fill=0.0):
+        a = jnp.where(vmask, a.astype(jnp.float32)[perm],
+                      jnp.float32(fill))
+        return a
+
+    state = jnp.stack([
+        blocked(x), blocked(y), blocked(z), blocked(Tx), blocked(Ty),
+        blocked(Tz, -1.0), blocked(inside.astype(jnp.float32)),
+        blocked(z)], axis=0)
+    state = jnp.transpose(state.reshape(8, G, B), (1, 0, 2))
+
+    params = jnp.stack([
+        jnp.float32(vol.min_bound[0]), jnp.float32(vol.min_bound[1]),
+        jnp.float32(sx), jnp.float32(sy), jnp.float32(z_min),
+        jnp.float32(dz_slab), jnp.float32(0.0), jnp.float32(0.0)])
+
+    field_hbm = field.reshape(field.shape[0], h, w * 4)
+    if substeps is None:
+        substeps = 2 if algorithm == 3 else 1
+    substeps = max(1, int(substeps))
+    static = (w, h, d - 1, int(plan.win_w), int(plan.win_h), int(B),
+              int(interpolation_scheme), int(algorithm), substeps,
+              bool(interpret))
+
+    out = _window_call(static, params, jnp.asarray(plan.ox),
+                       jnp.asarray(plan.oy), state, field_hbm)
+    rows = jnp.transpose(out, (1, 0, 2)).reshape(8, G * B)
+
+    # unsort: scatter each slot's result back to its ray (padded slots
+    # target index P and are dropped — their perm entry aliases ray 0)
+    P = xs.shape[0]
+    scatter_idx = jnp.where(vmask, perm, P)
+    res = [jnp.zeros((P,), jnp.float32).at[scatter_idx].set(
+        rows[i], mode="drop") for i in range(6)]
+    x, y, z, Tx, Ty, Tz = res
+
+    Tn = jnp.sqrt(Tx * Tx + Ty * Ty + Tz * Tz)
+    dirx_f = jnp.where(inside, Tx / Tn, dcx)
+    diry_f = jnp.where(inside, Ty / Tn, dcy)
+    dirz_f = jnp.where(inside, Tz / Tn, dcz)
+    return x, y, z, dirx_f, diry_f, dirz_f
+
+
+def chief_deltas_windowed(vol, plan, xs, ys, zs, dcx, dcy, dcz, *,
+                          algorithm: int = 2, interpolation_scheme: int = 1,
+                          substeps=None):
+    """Windowed twin of march_dense.chief_deltas_dense."""
+    x1, y1, z1, dx1, dy1, dz1 = march_chief_windowed(
+        vol, plan, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
+        interpolation_scheme=interpolation_scheme, substeps=substeps)
+    t = (z1 - zs) / dcz
+    return (z1, x1 - (xs + dcx * t), y1 - (ys + dcy * t),
+            dx1 - dcx, dy1 - dcy, dz1 - dcz)

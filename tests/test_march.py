@@ -170,6 +170,47 @@ def test_differentiable_scan_matches_while():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_rk45_differentiable_matches_while_and_fd():
+    """Round-4: the adaptive RK45 gains a fixed-trip differentiable
+    scan — 'adaptive' and 'gradients' are no longer mutually exclusive.
+    The scan must reproduce the while_loop march and its field gradient
+    must match a central finite difference along a random direction."""
+    import jax
+
+    vol, _, _ = make_gradient_volume(5.0, n=12)
+    rays = straight_rays(6, vol)
+
+    out_w = march_rays(vol, rays, algorithm=3)
+    out_s = march_rays(vol, rays, algorithm=3, differentiable=True)
+    np.testing.assert_allclose(np.asarray(out_s.pos), np.asarray(out_w.pos),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_s.dir), np.asarray(out_w.dir),
+                               rtol=1e-4, atol=1e-6)
+
+    field_flat = vol.field.reshape(-1, 4)
+
+    def loss(field):
+        out = march_rays(vol, rays, algorithm=3, differentiable=True,
+                         num_steps=96, field_flat=field)
+        return jnp.sum(out.dir[:, 0] * 1e3)
+
+    g = np.asarray(jax.grad(loss)(field_flat), np.float64)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    # directional FD: perturb only the gradient channels (the n-1
+    # channel's accept/reject sensitivity is knife-edged)
+    rng = np.random.default_rng(0)
+    v = np.zeros_like(np.asarray(field_flat))
+    v[:, :3] = rng.normal(size=(v.shape[0], 3))
+    v = v / np.linalg.norm(v)
+    eps = 1e-10
+    lp = float(loss(field_flat + eps * jnp.asarray(v)))
+    lm = float(loss(field_flat - eps * jnp.asarray(v)))
+    fd = (lp - lm) / (2 * eps)
+    ad = float((g * v).sum())
+    assert abs(fd - ad) <= 0.05 * max(abs(fd), abs(ad)), (fd, ad)
+
+
 def test_march_gradient_wrt_field():
     """d(exit x)/d(field) must exist and be finite via the scan path."""
     import jax

@@ -58,6 +58,62 @@ def test_dense_march_matches_exact(algorithm, scheme):
                                atol=0.03 * np.abs(ref_slope).max())
 
 
+def test_choose_substeps_error_control():
+    """Algorithm 3 substep control (the adaptive-RK45 stand-in).
+
+    Round-4 measurement: on a trilinearly interpolated field the
+    per-slab RK4 substep truncation is already converged at x2 for
+    every physically constructible scene (the interpolated field is
+    piecewise-LINEAR at slab scale — sharp z-sheets change the answer
+    through the ADAPTIVE-vs-fixed algorithm difference inherited from
+    the reference's integrator menu, which no substep count removes:
+    dense x2..x32 all sit 46% from exact-RK45 but 0.3% from exact-RK4
+    on a quarter-slab sheet).  The control must therefore (a) certify
+    convergence against a x32-converged oracle within the 1% budget on
+    a sharp sheet, and (b) escalate via its Richardson estimate when
+    handed a budget below the measured step error."""
+    from photon_tpu.ops.march_dense import choose_substeps
+    from photon_tpu.volume import build_density_volume
+
+    # steep Gaussian z-sheet: sigma ~ 1/4 of a slab, off-plane center
+    n, d = 24, 12
+    extent, z0, z1 = 2.4e5, 4.0e5, 9.0e5
+    x = np.linspace(-extent / 2, extent / 2, n)
+    z = np.linspace(z0, z1, d)
+    dzs = z[1] - z[0]
+    zc = 0.5 * (z0 + z1) + 0.37 * dzs
+    sheet = np.exp(-((z - zc) / (0.25 * dzs)) ** 2)
+    gx = (x - x.min()) / (x.max() - x.min())
+    rho = 1.225 + 12.0 * gx[:, None, None] * sheet[None, None, :] \
+        * np.ones((1, n, 1))
+    vol = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], dzs], [x[0], x[0], z0])
+
+    xs, pos, dirs = _chief_rays(P=17, span=1.6e5)
+    pos[:, 2] = 1.0e6
+    args = (jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+            jnp.asarray(pos[:, 2]), jnp.asarray(dirs[:, 0]),
+            jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]))
+
+    def defl(substeps):
+        out = march_chief_dense(vol, *args, algorithm=3,
+                                substeps=substeps)
+        return np.asarray(out[3]) / np.asarray(out[5])
+
+    ref = defl(32)                       # substep-converged oracle
+    scale = np.abs(ref).max()
+    assert scale > 0
+
+    chosen = choose_substeps(vol, *args)
+    err_n = np.abs(defl(chosen) - ref).max() / scale
+    assert err_n <= 0.01, (chosen, err_n)
+
+    # the escalation branch: a budget below the measured x4 step error
+    # must raise the count toward the cap
+    forced = choose_substeps(vol, *args, budget=1e-12, max_substeps=16)
+    assert forced == 16, forced
+
+
 def test_dense_march_matches_tube_march():
     """Dense and tube formulations implement the same z-slab RK4."""
     from photon_tpu.ops.march_fast import extract_tubes, march_chief_deltas

@@ -1,0 +1,211 @@
+"""Windowed fused march (ops.march_window) vs the dense-march oracle.
+
+The windowed kernel must reproduce march_chief_dense exactly (same
+weights, same slab planes) while touching only a per-block window of
+each slab — these tests run it in interpret mode on volumes small
+enough for the XLA dense oracle.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from photon_tpu.ops.march_dense import march_chief_dense
+from photon_tpu.ops.march_window import (chief_deltas_windowed,
+                                         march_chief_windowed,
+                                         plan_windows)
+from photon_tpu.volume import build_density_volume
+
+
+def _vol(n=128, d=10, lo=-6e4, hi=6e4, z0=4.0e5, z1=9.0e5, seed=3):
+    """Random but PHYSICAL refractivity: the windowed march's plan
+    bounds each block's window by its straight chief track plus a
+    margin — valid for real BOS/PIV media (micro-radian deflections).
+    A 0.8-amplitude random rho field (the fused-march tests' field)
+    bends rays tens of voxels off the straight line, violating the
+    plan's contract by construction."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(lo, hi, n)
+    rho = 1.225 + 0.08 * rng.random((n, n, d))
+    return build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], (z1 - z0) / (d - 1)], [lo, lo, z0])
+
+
+def _chiefs(p, seed=0, spread=5.5e4, outside_frac=0.02):
+    """Random downward chiefs; a few land laterally outside the volume
+    (their weights clamp to the border — the windowed kernel must
+    reproduce the clamp through its border windows)."""
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(-spread, spread, p)
+    ys = rng.uniform(-spread, spread, p)
+    n_out = max(1, int(outside_frac * p))
+    xs[:n_out] = rng.uniform(7e4, 9e4, n_out)       # beyond the +6e4 edge
+    zs = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = rng.uniform(-0.02, 0.02, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    return tuple(np.asarray(a, np.float32) for a in
+                 (xs, ys, zs, tx * inv, ty * inv, -inv))
+
+
+@pytest.mark.parametrize("scheme", [1, 2])
+def test_windowed_matches_dense(scheme):
+    vol = _vol()
+    ch = _chiefs(16 * 1024)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None, "plan must succeed at this density"
+    # y windows are partial (8-voxel granularity); x windows on a
+    # 128-wide volume are full-width by granularity (32-voxel lane
+    # tiles + slack) — partial x is covered by
+    # test_windowed_partial_x_on_wide_volume
+    assert plan.win_h < 128, (plan.win_w, plan.win_h)
+    got = march_chief_windowed(vol, plan, *map(jnp.asarray, ch),
+                               algorithm=2, interpolation_scheme=scheme)
+    ref = march_chief_dense(vol, *map(jnp.asarray, ch), algorithm=2,
+                            interpolation_scheme=scheme,
+                            use_pallas_sampler=False)
+    # positions compare at 0.05 um absolute (f32 tap-ordering rounding
+    # on ~1e5 um coordinates; far below any physical significance),
+    # directions at 2e-5
+    for i, (g, r) in enumerate(zip(got, ref)):
+        atol = 0.05 if i < 3 else 2e-5
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=atol, err_msg=str(i))
+
+
+def test_windowed_euler_and_substeps():
+    vol = _vol(d=8)
+    ch = _chiefs(16 * 1024, seed=5)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    for kw in (dict(algorithm=1), dict(algorithm=3, substeps=2)):
+        got = march_chief_windowed(vol, plan, *map(jnp.asarray, ch), **kw)
+        ref = march_chief_dense(vol, *map(jnp.asarray, ch),
+                                use_pallas_sampler=False, **kw)
+        for i, (g, r) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4,
+                                       atol=0.05 if i < 3 else 2e-5)
+
+
+def test_windowed_miss_rays_pass_through():
+    vol = _vol(d=8)
+    xs, ys, zs, dx, dy, dz = _chiefs(4096, seed=7)
+    plan = plan_windows(vol, xs, ys, zs, dx, dy, -dz,
+                        require_profit=False)  # upward: all miss
+    # upward rays never enter; the plan still builds (t clamps to 0)
+    if plan is None:
+        pytest.skip("plan degenerate for all-miss scene")
+    got = march_chief_windowed(vol, plan, *map(jnp.asarray,
+                                               (xs, ys, zs, dx, dy, -dz)))
+    np.testing.assert_allclose(np.asarray(got[0]), xs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[3]), dx, rtol=0)
+
+
+def test_windowed_deltas_contract():
+    vol = _vol(d=8)
+    ch = _chiefs(8192, seed=9)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    z1, dpx, dpy, ddx, ddy, ddz = chief_deltas_windowed(
+        vol, plan, *map(jnp.asarray, ch))
+    from photon_tpu.ops.march_dense import chief_deltas_dense
+    r = chief_deltas_dense(vol, *map(jnp.asarray, ch),
+                           use_pallas_sampler=False)
+    for i, (a, b) in enumerate(zip((z1, dpx, dpy, ddx, ddy, ddz), r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4,
+                                   atol=0.05 if i < 3 else 2e-5)
+
+
+def test_render_routes_large_volume_through_windowed_march():
+    """render_image_fast on a volume beyond the dense-march cap: the
+    windowed march plans successfully and the rendered image matches
+    the tube-path render of the same scene."""
+    from photon_tpu.models.optics import camera_setup
+    from photon_tpu.models.render_fast import render_image_fast
+    from photon_tpu.models.scenes import bos_source
+    from photon_tpu.config import default_config
+    from photon_tpu.utils.rng import lens_samples
+
+    cfg = default_config("bos")
+    cfg.camera_design.x_pixel_number = 256
+    cfg.camera_design.y_pixel_number = 256
+    cfg.bos_pattern.grid_point_number = 600
+    cfg.bos_pattern.particle_number_per_grid_point = 8
+    cfg.bos_pattern.lightray_number_per_particle = 16
+    m = cfg.lens_design.focal_length / (
+        cfg.lens_design.object_distance - cfg.lens_design.focal_length)
+    half = 0.7 * 256 * cfg.camera_design.pixel_pitch / 2.0 / m
+    cfg.bos_pattern.X_Min, cfg.bos_pattern.X_Max = -half, half
+    cfg.bos_pattern.Y_Min, cfg.bos_pattern.Y_Max = -half, half
+    setup = camera_setup(cfg)
+    src, *_ = bos_source(cfg, setup, np.random.default_rng(2))
+    r1, r2 = lens_samples(jax.random.key(5), 16)
+
+    # 288^2 lateral slab: beyond DENSE_MAX_SLAB_PALLAS (256^2)
+    n, d = 288, 8
+    extent = 4e5
+    x = np.linspace(-extent / 2, extent / 2, n)
+    z_dots = setup.object_distance
+    z = np.linspace(z_dots - 0.6 * setup.object_distance,
+                    z_dots - 0.1 * setup.object_distance, d)
+    gx = np.linspace(0, 1, n)
+    rho = 1.225 + 2.0 * gx[:, None, None] * np.ones((1, n, d))
+    vol = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], z[1] - z[0]], [x[0], x[0], z[0]])
+
+    from photon_tpu.ops.march_dense import dense_march_supported
+    assert not dense_march_supported(vol)
+
+    img_win = np.asarray(render_image_fast(cfg, setup, src, r1, r2,
+                                           vol=vol))
+    img_tube = np.asarray(render_image_fast(cfg, setup, src, r1, r2,
+                                            vol=vol, dense_march=False))
+    assert img_win.sum() > 0
+    l1 = np.abs(img_win - img_tube).sum() / img_tube.sum()
+    assert l1 < 2e-3, l1
+
+
+def test_windowed_partial_x_on_wide_volume():
+    """A wide (256 x 64) volume: x windows must be PARTIAL (the ray
+    blocks tile the x axis) and still match the dense oracle —
+    exercises nonzero lane-aligned window origins."""
+    rng = np.random.default_rng(3)
+    w, h, d = 256, 64, 8
+    lo, hi, z0, z1 = -12e4, 12e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, w)
+    vox = x[1] - x[0]
+    rho = 1.225 + 0.08 * rng.random((w, h, d))
+    vol = build_density_volume(
+        rho, [vox, vox, (z1 - z0) / (d - 1)], [lo, lo * h / w, z0])
+
+    p = 16 * 1024
+    xs = rng.uniform(-11e4, 11e4, p)
+    ys = rng.uniform(-0.45 * vox * h, 0.45 * vox * h, p)
+    zs = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = rng.uniform(-0.005, 0.005, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    ch = tuple(np.asarray(a, np.float32) for a in
+               (xs, ys, zs, tx * inv, ty * inv, -inv))
+
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    assert plan.win_w < w, plan.win_w
+    assert int(plan.ox.max()) > 0          # nonzero lane origins used
+    got = march_chief_windowed(vol, plan, *map(jnp.asarray, ch))
+    ref = march_chief_dense(vol, *map(jnp.asarray, ch),
+                            use_pallas_sampler=False)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4,
+                                   atol=0.05 if i < 3 else 2e-5)
+
+
+def test_plan_rejects_degenerate_cases():
+    # tiny volume: windows cannot beat dense
+    vol = _vol(n=16, d=8)
+    ch = _chiefs(2048, spread=5e4)
+    assert plan_windows(vol, *ch) is None
