@@ -515,9 +515,11 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     every ray's own erf spot instead of one spot per particle at the
     amplitude-weighted centroid (forced on by position noise).
     ``interpolation_scheme``: 1 trilinear, 2 tricubic B-spline — both
-    supported at any volume size (dense matmul march for slabs up to
-    128x128, prefiltered voxel-tube march beyond), as is the full
-    integrator menu (Euler/RK4/RK45-substep/AB4).
+    supported at any volume size (fused dense march for slabs up to
+    256x256, windowed fused march beyond — ops.march_window — with the
+    voxel-tube march as the planning fallback), as is the full
+    integrator menu (Euler/RK4/RK45-substep with error-controlled
+    substeps/AB4).
 
     Host-side work is scene prep only (Mie table lookup, static
     parameter packing); the whole array->image path runs as one jitted
@@ -537,8 +539,9 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         if dense_march and not dense_march_supported(vol):
             raise NotImplementedError(
                 "dense march needs slabs <= 128x128 (256x256 with the "
-                "Pallas sampler on TPU); omit dense_march to use the "
-                "tube fallback")
+                "Pallas kernels on TPU); omit dense_march to route "
+                "larger volumes through the windowed fused march / "
+                "tube fallback automatically")
     per_ray_splat = per_ray_splat or params.add_pos_noise
     if patch is None:
         if params.implement_diffraction and not per_ray_splat:

@@ -63,10 +63,10 @@ def can_use_fast_renderer(cfg: SimulationConfig, setup: CameraSetup,
     scattering (the per-particle Mie collapse is valid for every table),
     erf-diffraction or bilinear sensor deposits, per-ray sensor position
     noise, and the full density-march menu — all four integrators x
-    trilinear/tricubic at any volume size (dense matmul march for slabs
-    <= 128x128, prefiltered voxel-tube march beyond).  Routed to the
-    exact path: tilted/multi-element trains, gradient-index noise,
-    Abbe/Cauchy dispersion, nonzero absorbance.
+    trilinear/tricubic at any volume size (fused dense march for slabs
+    to 256x256, windowed fused march beyond, voxel-tube fallback).
+    Routed to the exact path: tilted/multi-element trains,
+    gradient-index noise, Abbe/Cauchy dispersion, nonzero absorbance.
     """
     from photon_tpu.models.render_fast import _axis_aligned
 
