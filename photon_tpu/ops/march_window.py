@@ -58,6 +58,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from photon_tpu.ops.march_dense_pallas import _b3, _dot3
 
+
+def _dot_split(a, b, dn, passes: int):
+    """bf16-split contraction with a selectable pass count.
+
+    passes=3 is march_dense_pallas._dot3 (~f32: both operands' low
+    bits corrected, end-of-march deflection error ~1e-5 relative);
+    passes=2 keeps the FIELD-low-bits correction (a_lo @ b_hi) and
+    drops the weight-low-bits term (measured immaterial: 1-pass and
+    weight-corrected 2-pass land on the same 2e-3 deflection error,
+    i.e. the error is all in the field operand), passes=1 is plain
+    bf16.  The windowed large-volume march defaults to 2: its measured
+    deflection error sits well inside the reference's own 1%
+    displacement acceptance budget while cutting the dominant MXU cost
+    by a third (see tests + PARITY).
+    """
+    if passes >= 3:
+        return _dot3(a, b, dn)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dn,
+                                   preferred_element_type=jnp.float32)
+
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 1:
+        return d(a_hi, b)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    return d(a_hi, b_hi) + d(a_lo, b_hi)
+
 _B = 1024                 # default rays per block (plan may shrink)
 _SUPPORT = 3              # cubic tap reach (+1 drift/rounding margin)
 _MARGIN = 6               # window slack: support + deflection + rounding
@@ -265,7 +294,8 @@ def _weights_T_win(u_row, n: int, scheme: int, gl, gr):
 def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
                    out_ref, scratch, win, sem,
                    *, W: int, H: int, S: int, Ww: int, Hw: int, B: int,
-                   scheme: int, algorithm: int, substeps: int):
+                   scheme: int, algorithm: int, substeps: int,
+                   passes: int):
     """One (ray block g, slab s) step of the windowed march.
 
     pairs_hbm: the field's natural (D, H, W*4) reshape in ANY/HBM
@@ -283,19 +313,35 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     # slab step s consumes field depth rows S-1-s (lo) and S-s (hi) —
     # no packed duplicate of the multi-GB field is ever materialized.
     # The plan guarantees the tile alignments; Mosaic needs the proofs
-    # spelled out via multiple_of.
-    ox = ox_ref[g, s]
-    oy = oy_ref[g, s]
-    ox4 = pl.multiple_of(ox * 4, 128)
-    oy8 = pl.multiple_of(oy, 8)
-    lo_dma = pltpu.make_async_copy(
-        pairs_hbm.at[S - 1 - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
-        win.at[0], sem)
-    hi_dma = pltpu.make_async_copy(
-        pairs_hbm.at[S - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
-        win.at[1], sem)
-    lo_dma.start()
-    hi_dma.start()
+    # spelled out via multiple_of.  Windows are DOUBLE-BUFFERED: step s
+    # computes on slot s%2 while the DMAs for step s+1 fill the other
+    # slot (the slot last used at s-1, whose compute is complete).
+    def win_dmas(step, slot):
+        oxw = ox_ref[g, step]
+        oyw = oy_ref[g, step]
+        ox4 = pl.multiple_of(oxw * 4, 128)
+        oy8 = pl.multiple_of(oyw, 8)
+        lo = pltpu.make_async_copy(
+            pairs_hbm.at[S - 1 - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+            win.at[slot, 0], sem.at[slot, 0])
+        hi = pltpu.make_async_copy(
+            pairs_hbm.at[S - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+            win.at[slot, 1], sem.at[slot, 1])
+        return lo, hi
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _():
+        lo, hi = win_dmas(s, slot)
+        lo.start()
+        hi.start()
+
+    @pl.when(s + 1 < S)
+    def _():
+        lo, hi = win_dmas(s + 1, 1 - slot)
+        lo.start()
+        hi.start()
 
     min_x = params_ref[0]
     min_y = params_ref[1]
@@ -317,6 +363,8 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     in_band = (inside > 0.0) & (z > z_plane)
     hstep = -(z - z_plane)
 
+    ox = ox_ref[g, s]
+    oy = oy_ref[g, s]
     oxf = ox.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
     gl_x = jnp.where(ox == 0, 1.0, 0.0)
@@ -324,8 +372,9 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     gl_y = jnp.where(oy == 0, 1.0, 0.0)
     gr_y = jnp.where(oy + Hw == H, 1.0, 0.0)
 
-    lo_dma.wait()
-    hi_dma.wait()
+    lo_cur, hi_cur = win_dmas(s, slot)
+    lo_cur.wait()
+    hi_cur.wait()
 
     def rhs(px, py, tx, ty, tz, z_at):
         uz = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
@@ -338,7 +387,8 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
         # (2Hw, Ww4) rows [lo | hi], halving the MXU pass count vs two
         # half-K dots (same MACs, deeper systolic fill)
         wy_cat = jnp.concatenate([wy * (1.0 - uz), wy * uz], axis=0)
-        A = _dot3(win[:].reshape(2 * Hw, Ww * 4), wy_cat, dn0)
+        A = _dot_split(win[slot].reshape(2 * Hw, Ww * 4), wy_cat, dn0,
+                       passes)
         s4 = jnp.sum(A.reshape(Ww, 4, B) * wx[:, None, :], axis=0)
         gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
         inv_tz = 1.0 / tz
@@ -381,11 +431,12 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
 
 
 def _window_call(static, params, ox, oy, state, pairs):
-    W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret = static
+    (W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret,
+     passes) = static
     G = state.shape[0]
     kern = functools.partial(
         _window_kernel, W=W, H=H, S=S, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
-        algorithm=algorithm, substeps=substeps)
+        algorithm=algorithm, substeps=substeps, passes=passes)
     return pl.pallas_call(
         kern,
         grid=(G, S),
@@ -401,8 +452,8 @@ def _window_call(static, params, ox, oy, state, pairs):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, B), jnp.float32),
-                        pltpu.VMEM((2, Hw, Ww * 4), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.VMEM((2, 2, Hw, Ww * 4), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -412,7 +463,8 @@ def _window_call(static, params, ox, oy, state, pairs):
 def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
                          *, algorithm: int = 2,
                          interpolation_scheme: int = 1,
-                         substeps=None, interpret=None):
+                         substeps=None, interpret=None,
+                         passes: int = 2):
     """Windowed twin of march_dense_fused.march_chief_fused.
 
     ``plan`` comes from :func:`plan_windows` on the SAME (host) chief
@@ -475,7 +527,7 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
     substeps = max(1, int(substeps))
     static = (w, h, d - 1, int(plan.win_w), int(plan.win_h), int(B),
               int(interpolation_scheme), int(algorithm), substeps,
-              bool(interpret))
+              bool(interpret), int(passes))
 
     out = _window_call(static, params, jnp.asarray(plan.ox),
                        jnp.asarray(plan.oy), state, field_hbm)
@@ -498,11 +550,12 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
 
 def chief_deltas_windowed(vol, plan, xs, ys, zs, dcx, dcy, dcz, *,
                           algorithm: int = 2, interpolation_scheme: int = 1,
-                          substeps=None):
+                          substeps=None, passes: int = 2):
     """Windowed twin of march_dense.chief_deltas_dense."""
     x1, y1, z1, dx1, dy1, dz1 = march_chief_windowed(
         vol, plan, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
-        interpolation_scheme=interpolation_scheme, substeps=substeps)
+        interpolation_scheme=interpolation_scheme, substeps=substeps,
+        passes=passes)
     t = (z1 - zs) / dcz
     return (z1, x1 - (xs + dcx * t), y1 - (ys + dcy * t),
             dx1 - dcx, dy1 - dcy, dz1 - dcz)
