@@ -441,6 +441,17 @@ _sharded_cache = {}
 _window_plan_cache = {}
 
 
+def _scene_fingerprint(vol, setup, params, xs, ys, zs):
+    """Hash of everything the window plan / substep probe consumes."""
+    return hash((
+        tuple(np.asarray(vol.sizes).tolist()),
+        np.asarray(vol.min_bound).tobytes(),
+        np.asarray(vol.max_bound).tobytes(),
+        np.asarray(setup.inverse_rotation_matrix).tobytes(),
+        float(params.z_offset), float(params.image_distance),
+        xs.tobytes(), ys.tobytes(), zs.tobytes()))
+
+
 def _get_sharded_render(mesh, statics: dict, reduce: bool = True):
     """One compiled sharded renderer per (mesh, static config).
 
@@ -641,11 +652,14 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         from photon_tpu.ops.march_window import plan_windows
         # the plan is a host-side computation over all chief tracks
         # (argsort + device bounds sweep, ~1-3 s at bench scale) and is
-        # pure in (volume geometry, source positions) — cache it across
-        # render calls of the same scene (the batch pipeline and the
-        # bench re-render identical scenes)
-        key = (id(vol.field), vol.field.shape, xs.shape,
-               xs.tobytes()[:256], ys.tobytes()[:256], zs.tobytes()[:256])
+        # pure in (volume geometry, camera geometry, source positions)
+        # — cache it across render calls of the same scene (the batch
+        # pipeline and the bench re-render identical scenes).  The key
+        # hashes EVERYTHING the plan consumes: full position bytes,
+        # the chief geometry scalars/matrices, and the volume's shape
+        # and bounds (id() alone can be reused after GC and misses
+        # vol._replace of the bounds).
+        key = _scene_fingerprint(vol, setup, params, xs, ys, zs)
         plan = _window_plan_cache.get(key)
         if plan is None and key not in _window_plan_cache:
             pw, dw = chief_host()
@@ -663,15 +677,21 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     # algorithm 3 (the reference's adaptive RK45): pick the fixed
     # substep count from the data instead of hardcoding 2 — a
     # Richardson error estimate on a 1024-chief subsample
-    # (ops.march_dense.choose_substeps); static per compile
+    # (ops.march_dense.choose_substeps); static per compile, cached
+    # across renders of the same scene like the window plan
     if vol is not None and chief_march and algorithm == 3 \
             and march_substeps is None and (dense_march
                                             or window_shape is not None):
         from photon_tpu.ops.march_dense import choose_substeps
-        pw, dw = chief_host()
-        march_substeps = choose_substeps(
-            vol, pw[0], pw[1], pw[2], dw[0], dw[1], dw[2],
-            interpolation_scheme=int(interpolation_scheme))
+        skey = ("substeps", int(interpolation_scheme),
+                _scene_fingerprint(vol, setup, params, xs, ys, zs))
+        march_substeps = _window_plan_cache.get(skey)
+        if march_substeps is None:
+            pw, dw = chief_host()
+            march_substeps = choose_substeps(
+                vol, pw[0], pw[1], pw[2], dw[0], dw[1], dw[2],
+                interpolation_scheme=int(interpolation_scheme))
+            _window_plan_cache[skey] = march_substeps
 
     statics = dict(params=params, lens_params=lens_params, rotated=rotated,
                    algorithm=algorithm, patch=patch,

@@ -465,6 +465,9 @@ def _rk45_march(rays_pos, rays_dir, geom: _Geom, sample, max_iters: int,
             jnp.ones((N,), dtype=bool), jnp.int32(0),
             recorder.init() if recorder is not None else ())
     if differentiable:
+        if recorder is not None:
+            raise ValueError("intermediate recording is not supported on "
+                             "the differentiable RK45 scan path")
         if num_steps is None:
             num_steps = max_iters
         ckpt_body = jax.checkpoint(lambda c, _: (body(c), None))

@@ -86,24 +86,22 @@ def block_size_for_slab(wh: int) -> int:
     return 256
 
 
+# backward ray-block sizes — CURRENTLY EQUAL to the forward's table
+# (the raised per-kernel vmem_limit_bytes fits the backward at the
+# forward's B, and per-step time is dependency-chain-bound, so larger
+# blocks divide wall time).  The table is kept separate because the
+# reblock machinery in _fused_march_bwd lets the backward drop to a
+# smaller B than the forward if its VMEM footprint ever outgrows the
+# budget again (exercised by test_fused_bwd_reblock_path).
 _BWD_B_FOR_SLAB = ((64 * 64, 1024), (128 * 128, 512), (256 * 256, 256))
 
 
 def bwd_block_size_for_slab(wh: int) -> int:
-    """Backward ray-block size (VMEM-bound; see _fused_march_bwd).
-
-    The backward's per-step latency chain (~20 us: 4 reverse-march
-    evals + 4 replay evals + 4 VJPs, each waiting on the last) barely
-    depends on B, so larger blocks directly divide wall time — B is
-    kept as large as the 16 MB scoped-VMEM budget allows."""
+    """Backward ray-block size (see the table note above)."""
     for cap, b in _BWD_B_FOR_SLAB:
         if wh <= cap:
             return b
     return 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 # ---------------------------------------------------------------------------
@@ -711,7 +709,13 @@ def _bwd_stage_kernel(params_ref, out_ref, traj_ref, pair_ref, ct_in_ref,
         return sum(ai * bi for ai, bi in zip(a, b))
 
     t = traj_ref[0, 0]
-    stages = [tuple(t[5 * i + j:5 * i + j + 1] for j in range(5))
+    # gate the saved stage states by in_band: out-of-band lanes carry
+    # pass-through values computed with UNGATED 1/tz in the forward
+    # (a grazing dcz ~ 0 ray yields inf/NaN stage coordinates), and the
+    # ct_pair contraction below sums over the RAY axis — one poisoned
+    # lane would NaN the whole field gradient
+    stages = [tuple(jnp.where(in_band, t[5 * i + j:5 * i + j + 1], 0.0)
+                    for j in range(5))
               for i in range(1 if algorithm == 1 else 4)]
 
     def vjp_stage(st, z_at, d5):
@@ -912,13 +916,12 @@ def _fused_march_bwd(static, res, ct):
         return (jnp.zeros_like(params), d_state, d_pairs,
                 jnp.zeros_like(field))
     if _bwd_fused_eligible(static):
-        # the backward runs at HALF the forward's ray-block size: its
-        # per-stage transients (A, d_A, weight matrices, the reverse
-        # re-march evals — all (., B)) measured 18.5 MB scoped VMEM at
-        # B=1024 on 64^2 slabs (limit 16 MB); halving B halves them
-        # while the forward keeps its proven faster block size.  The
-        # re-block is a pure relabeling of ray slots, inverted on
-        # d_state below.
+        # the backward may run at a smaller ray-block size than the
+        # forward (its per-stage transients — A, d_A, weight matrices —
+        # all scale with B); with the raised vmem_limit_bytes the
+        # tables are currently equal and f == 1, but the re-block (a
+        # pure relabeling of ray slots, inverted on d_state below)
+        # keeps the knob available.
         bwd_B = bwd_block_size_for_slab(W * H)
         f = B // bwd_B
         if f > 1:

@@ -87,7 +87,6 @@ def _dot_split(a, b, dn, passes: int):
     b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
     return d(a_hi, b_hi) + d(a_lo, b_hi)
 
-_B = 1024                 # default rays per block (plan may shrink)
 _SUPPORT = 3              # cubic tap reach (+1 drift/rounding margin)
 _MARGIN = 6               # window slack: support + deflection + rounding
 # window VMEM budget: (Ww*4, 2*Hw) f32 x 3 bf16-split copies
@@ -134,23 +133,51 @@ def _serpentine_order(ux_mid, uy_mid, w, h, block):
 
 
 @functools.partial(jax.jit, static_argnums=(8, 9))
-def _track_bounds(xs, ys, zs, dcx, dcy, dcz, valid, z_planes, geom, block):
-    """Per-(block, slab) straight-track bounds: (G, S) min/max of the
-    clamped voxel coordinates (device-side twin of the old host sweep)."""
+def _track_bounds(xs, ys, zs, dcx, dcy, dcz, valid, z_evals, geom, block):
+    """Per-(block, slab) straight-track bounds over each STEP INTERVAL.
+
+    z_evals carries z_max followed by the S landing planes; the track
+    is linear in z, so the bound over step s (entry at plane s-1 / the
+    volume top, exit at plane s) is the union of the endpoint bounds —
+    integrator stages sample anywhere inside the interval, not just at
+    the landing plane.  ``valid`` must already exclude rays that never
+    march (padding and dcz >= 0): their clipped pseudo-tracks would
+    inflate the extents to the full slab.
+    """
     min_x0, min_y0, sx, sy, w, h = geom
-    t = jnp.maximum((z_planes[None, :] - zs[:, None]) / dcz[:, None], 0.0)
+    t = jnp.maximum((z_evals[None, :] - zs[:, None]) / dcz[:, None], 0.0)
     ux = jnp.clip(0.5 + (xs[:, None] + dcx[:, None] * t - min_x0) / sx,
                   0.0, w - 1.0)
     uy = jnp.clip(0.5 + (ys[:, None] + dcy[:, None] * t - min_y0) / sy,
                   0.0, h - 1.0)
     G = xs.shape[0] // block
-    S = z_planes.shape[0]
-    ux = ux.reshape(G, block, S)
-    uy = uy.reshape(G, block, S)
+    S1 = z_evals.shape[0]
+    ux = ux.reshape(G, block, S1)
+    uy = uy.reshape(G, block, S1)
     vm = valid.reshape(G, block, 1)
     big = jnp.float32(1e9)
-    return (jnp.where(vm, ux, big).min(1), jnp.where(vm, ux, -big).max(1),
-            jnp.where(vm, uy, big).min(1), jnp.where(vm, uy, -big).max(1))
+    mnx = jnp.where(vm, ux, big).min(1)
+    mxx = jnp.where(vm, ux, -big).max(1)
+    mny = jnp.where(vm, uy, big).min(1)
+    mxy = jnp.where(vm, uy, -big).max(1)
+    # step s spans evaluation points s (entry) and s+1 (landing)
+    return (jnp.minimum(mnx[:, :-1], mnx[:, 1:]),
+            jnp.maximum(mxx[:, :-1], mxx[:, 1:]),
+            jnp.minimum(mny[:, :-1], mny[:, 1:]),
+            jnp.maximum(mxy[:, :-1], mxy[:, 1:]))
+
+
+def _padded_dims(w: int, h: int):
+    """Tile-padded lateral dims for the window DMA.
+
+    When a dim is not a multiple of its DMA granularity (x: 32 voxels =
+    128 lanes at 4 channels; y: 8 sublanes) the field is padded with
+    BORDER-REPLICATED voxels, by at least the cubic tap support (3) so
+    clamped-tap semantics hold without border folds on the padded side.
+    """
+    w_pad = w if w % 32 == 0 else -(-(w + _SUPPORT) // 32) * 32
+    h_pad = h if h % 8 == 0 else -(-(h + _SUPPORT) // 8) * 8
+    return w_pad, h_pad
 
 
 def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
@@ -211,9 +238,14 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     perm = np.concatenate([order, np.zeros(pad, np.int32)])
     valid = np.concatenate([np.ones(P, bool), np.zeros(pad, bool)])
 
-    # per-(block, slab) track bounds, computed on device
+    # per-(block, step-interval) track bounds, computed on device; rays
+    # that never march (dcz >= 0 — inside requires a downward ray) are
+    # masked out of the bounds so one stray upward ray cannot blow up a
+    # block's window / veto the whole plan
     geom = (float(mn[0]), float(mn[1]), float(sx), float(sy),
             float(w), float(h))
+    marches = np.concatenate([dcz < 0, np.zeros(pad, bool)])
+    z_evals = np.concatenate([[z_max], z_planes])
     min_x, max_x, min_y, max_y = (
         np.asarray(a) for a in _track_bounds(
             jnp.asarray(xs[perm], jnp.float32),
@@ -222,11 +254,19 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
             jnp.asarray(dcx[perm], jnp.float32),
             jnp.asarray(dcy[perm], jnp.float32),
             jnp.asarray(safe_dcz[perm], jnp.float32),
-            jnp.asarray(valid), jnp.asarray(z_planes, jnp.float32),
+            jnp.asarray(valid & marches),
+            jnp.asarray(z_evals, jnp.float32),
             geom, block))
+    if not (valid & marches).any():
+        return None                    # nothing marches: use fallback
 
     ext_x = float((max_x - min_x).max())
     ext_y = float((max_y - min_y).max())
+    # volumes whose dims are not multiples of the DMA tile granularity
+    # are border-REPLICATED up to the next multiple by the kernel
+    # wrapper (replicated pads reproduce clamped-tap semantics without
+    # folds — see march_chief_windowed); plan against the padded dims
+    w_pad, h_pad = _padded_dims(w, h)
     # window sizes: extent + taps + drift margin, rounded to the VMEM
     # tile granularities (rows = Ww*4 mult of 8 -> Ww even; Hw in
     # 32-lane steps — the lo/hi halves are separate buffers, so no
@@ -236,30 +276,34 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     # 32-voxel steps (x4 channels = 128 lanes); y rides the 8-sublane
     # row axis -> oy and Hw in 8-voxel steps.  Origins snap DOWN, so
     # the window carries the snap slack on top of extent + margins.
-    win_w = min(w, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
-    win_h = min(h, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
+    win_w = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
+    win_h = min(h_pad, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
     if win_w * 4 * 2 * win_h * 4 * 3 > _WIN_VMEM_MAX:
         return None
-    if require_profit and win_w * win_h * 4 >= w * h:
+    if require_profit and win_w * win_h * 4 >= w_pad * h_pad:
         return None                    # windows would not beat dense
 
     # min-edge-based snapped origins: floor(min - support) to the tile
     # grid guarantees the left taps, and the window's size slack (the
     # +31/+7 terms above) guarantees the right — a center-based origin
     # can snap OUT of the valid interval when rounding eats the slack
-    ox = np.clip((np.floor(min_x - _SUPPORT) // 32) * 32,
-                 0, w - win_w).astype(np.int32)
-    oy = np.clip((np.floor(min_y - _SUPPORT) // 8) * 8,
-                 0, h - win_h).astype(np.int32)
+    # snap AFTER the clip so the kernel's pl.multiple_of claims hold
+    # even when w/h are not multiples of the tile granularity; if the
+    # re-snap un-covers a right-edge block, the coverage check below
+    # vetoes the plan (tube fallback) rather than shipping a lie
+    ox = (np.clip(np.floor(min_x - _SUPPORT), 0, w_pad - win_w)
+          .astype(np.int64) // 32 * 32).astype(np.int32)
+    oy = (np.clip(np.floor(min_y - _SUPPORT), 0, h_pad - win_h)
+          .astype(np.int64) // 8 * 8).astype(np.int32)
 
     # exact coverage check incl. tap support (must hold by construction;
     # belt and braces against rounding)
     bad = ((min_x - _SUPPORT < ox - 1e-6) & (ox > 0)) \
         | ((max_x + _SUPPORT > ox + win_w - 1 + 1e-6)
-           & (ox + win_w < w)) \
+           & (ox + win_w < w_pad)) \
         | ((min_y - _SUPPORT < oy - 1e-6) & (oy > 0)) \
         | ((max_y + _SUPPORT > oy + win_h - 1 + 1e-6)
-           & (oy + win_h < h))
+           & (oy + win_h < h_pad))
     if bad.any():
         return None
     return WindowPlan(perm=perm, valid=valid, ox=ox, oy=oy,
@@ -271,23 +315,32 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
 # ---------------------------------------------------------------------------
 
 
-def _weights_T_win(u_row, n: int, scheme: int, gl, gr):
+def _weights_T_win(u_row, n: int, scheme: int, gl, gr, padded: bool):
     """Window-local dense weights: _weights_T with the cubic border
     folds gated by whether the window touches the global border (gl/gr
     are 0/1 scalars).  The clip semantics need no gating — a globally
     clamped ray is assigned to a border window where local and global
     clips coincide, and inner-window rays never reach the local clip
-    (plan invariant)."""
+    (plan invariant).
+
+    ``padded``: this axis carries >= _SUPPORT border-replicated pad
+    voxels (non-tile-multiple volume dims).  Clamped-outside rays then
+    clip to n-1-_SUPPORT so every tap lands on replicated border
+    values — numerically identical to the fold/clamp semantics — and
+    the right fold never fires (gr compares window edge to the PADDED
+    width, which is never the true border)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+    hi_t = float(n - 1 - _SUPPORT) if padded else float(n - 1)
+    hi_c = float(n - 1 - _SUPPORT) if padded else float(n + 1)
     if scheme == 2:
-        uc = jnp.clip(u_row, -2.0, n + 1.0)
+        uc = jnp.clip(u_row, -2.0, hi_c)
         wt = _b3(uc - iota)
         fold_l = _b3(uc + 1.0) + _b3(uc + 2.0) + _b3(uc + 3.0)
         fold_r = _b3(uc - n) + _b3(uc - (n + 1.0)) + _b3(uc - (n + 2.0))
         wt = wt + jnp.where(iota == 0.0, gl * fold_l, 0.0) \
             + jnp.where(iota == n - 1.0, gr * fold_r, 0.0)
         return wt
-    uc = jnp.clip(u_row, 0.0, n - 1.0)
+    uc = jnp.clip(u_row, 0.0, hi_t)
     return jnp.maximum(0.0, 1.0 - jnp.abs(uc - iota))
 
 
@@ -295,7 +348,7 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
                    out_ref, scratch, win, sem,
                    *, W: int, H: int, S: int, Ww: int, Hw: int, B: int,
                    scheme: int, algorithm: int, substeps: int,
-                   passes: int):
+                   passes: int, padded_x: bool, padded_y: bool):
     """One (ray block g, slab s) step of the windowed march.
 
     pairs_hbm: the field's natural (D, H, W*4) reshape in ANY/HBM
@@ -380,8 +433,8 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
         uz = jnp.clip((z_at - z_plane) / dz_slab, 0.0, 1.0)
         ux = 0.5 + (px - min_x) / sx - oxf
         uy = 0.5 + (py - min_y) / sy - oyf
-        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x)
-        wy = _weights_T_win(uy, Hw, scheme, gl_y, gr_y)
+        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x, padded_x)
+        wy = _weights_T_win(uy, Hw, scheme, gl_y, gr_y, padded_y)
         dn0 = (((0,), (0,)), ((), ()))   # win (2Hw, Ww*4) x wy (2Hw, B)
         # one full-depth contraction: the (2, Hw, Ww4) buffer reads as
         # (2Hw, Ww4) rows [lo | hi], halving the MXU pass count vs two
@@ -432,11 +485,12 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
 
 def _window_call(static, params, ox, oy, state, pairs):
     (W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret,
-     passes) = static
+     passes, padded_x, padded_y) = static
     G = state.shape[0]
     kern = functools.partial(
         _window_kernel, W=W, H=H, S=S, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
-        algorithm=algorithm, substeps=substeps, passes=passes)
+        algorithm=algorithm, substeps=substeps, passes=passes,
+        padded_x=padded_x, padded_y=padded_y)
     return pl.pallas_call(
         kern,
         grid=(G, S),
@@ -521,13 +575,19 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
         jnp.float32(sx), jnp.float32(sy), jnp.float32(z_min),
         jnp.float32(dz_slab), jnp.float32(0.0), jnp.float32(0.0)])
 
-    field_hbm = field.reshape(field.shape[0], h, w * 4)
+    # non-tile-multiple lateral dims: border-replicate up to the DMA
+    # granularity (the plan was built against the same padded dims)
+    w_pad, h_pad = _padded_dims(w, h)
+    if (w_pad, h_pad) != (w, h):
+        field = jnp.pad(field, ((0, 0), (0, h_pad - h), (0, w_pad - w),
+                                (0, 0)), mode="edge")
+    field_hbm = field.reshape(field.shape[0], h_pad, w_pad * 4)
     if substeps is None:
         substeps = 2 if algorithm == 3 else 1
     substeps = max(1, int(substeps))
-    static = (w, h, d - 1, int(plan.win_w), int(plan.win_h), int(B),
-              int(interpolation_scheme), int(algorithm), substeps,
-              bool(interpret), int(passes))
+    static = (w_pad, h_pad, d - 1, int(plan.win_w), int(plan.win_h),
+              int(B), int(interpolation_scheme), int(algorithm), substeps,
+              bool(interpret), int(passes), w_pad != w, h_pad != h)
 
     out = _window_call(static, params, jnp.asarray(plan.ox),
                        jnp.asarray(plan.oy), state, field_hbm)

@@ -138,6 +138,28 @@ def test_fused_entry_z_gradients_match_per_stage():
     np.testing.assert_allclose(gf / denom, gr / denom, atol=1e-3)
 
 
+def test_fused_bwd_reblock_path(monkeypatch):
+    """The backward can run at a smaller ray-block size than the
+    forward (the VMEM-mitigation knob): force the divergence and check
+    gradient parity through the reblock/inverse-reblock."""
+    import photon_tpu.ops.march_dense_fused as mdf
+
+    vol = _vol(n=8)
+    chiefs = _chiefs(11)
+
+    def loss(field):
+        out = march_chief_fused(vol, *chiefs, algorithm=2, field=field,
+                                interpret=True)
+        return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
+
+    g_ref = np.asarray(jax.grad(loss)(vol.field))
+    monkeypatch.setattr(mdf, "_BWD_B_FOR_SLAB", ((64 * 64, 512),))
+    g_reb = np.asarray(jax.grad(loss)(vol.field))
+    denom = np.abs(g_ref).max()
+    assert denom > 0
+    np.testing.assert_allclose(g_reb / denom, g_ref / denom, atol=1e-6)
+
+
 def test_fused_recompute_backward_matches(monkeypatch):
     """The memory-lean reverse-re-march backward (stage residual over
     the PHOTON_TRAJ_MAX_BYTES budget) matches the per-stage autodiff

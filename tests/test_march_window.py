@@ -227,6 +227,41 @@ def test_windowed_default_passes_within_reference_budget():
         assert rel < 1e-2, rel
 
 
+def test_windowed_unaligned_volume_dims():
+    """Volume dims that are not multiples of the tile granularity
+    (w % 32 != 0, h % 8 != 0): origins must stay tile-aligned after
+    clipping — the plan either covers correctly or declines (never
+    ships a false pl.multiple_of claim)."""
+    rng = np.random.default_rng(4)
+    w, h, d = 140, 116, 8
+    lo, hi, z0, z1 = -6e4, 6e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, w)
+    vox = x[1] - x[0]
+    rho = 1.225 + 0.08 * rng.random((w, h, d))
+    vol = build_density_volume(
+        rho, [vox, vox, (z1 - z0) / (d - 1)], [lo, lo * h / w, z0])
+    p = 16 * 1024
+    xs = rng.uniform(-5.8e4, 5.8e4, p)
+    ys = rng.uniform(-0.48 * vox * h, 0.48 * vox * h, p)
+    zs = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = rng.uniform(-0.01, 0.01, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    ch = tuple(np.asarray(a, np.float32) for a in
+               (xs, ys, zs, tx * inv, ty * inv, -inv))
+    plan = plan_windows(vol, *ch, require_profit=False)
+    if plan is None:
+        pytest.skip("plan declined (acceptable for unaligned edges)")
+    assert (plan.ox % 32 == 0).all() and (plan.oy % 8 == 0).all()
+    got = march_chief_windowed(vol, plan, *map(jnp.asarray, ch), passes=3)
+    ref = march_chief_dense(vol, *map(jnp.asarray, ch),
+                            use_pallas_sampler=False)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4,
+                                   atol=0.05 if i < 3 else 2e-5)
+
+
 def test_plan_rejects_degenerate_cases():
     # tiny volume: windows cannot beat dense
     vol = _vol(n=16, d=8)
