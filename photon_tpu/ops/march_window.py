@@ -36,13 +36,28 @@ lateral drift).  Media refractive enough to bend chief rays multiple
 voxels sideways violate the plan and must route through the exact
 marcher.
 
-Forward-only: gradients at >256^2 route through the per-stage paths
-(an inverse problem at 512^3 carries a 2 GB field gradient — out of
-scope for the fused kernels this round).
+Differentiable: a custom_vjp backward marches the slabs in reverse and
+accumulates each (block, slab) step's WINDOW-LOCAL field cotangent in
+VMEM, then read-modify-writes it into the global field-cotangent tensor
+in HBM (the transpose of the window DMA; the TPU grid is sequential, so
+overlapping windows accumulate race-free, and the RMW DMAs overlap the
+VJP chain's compute).  Two state-reconstruction flavors mirror
+march_dense_fused: the default streams the forward's saved per-stage
+states (the A/B-measured winner), and marches whose stage residual
+would not fit the PHOTON_TRAJ_MAX_BYTES budget reconstruct states by
+reverse re-march with defect corrections.  The 2 GB field cotangent at
+512^3 is ONE HBM tensor, input/output-aliased through the kernel.
+
+The plan's drift contract is enforced at run time: the kernel flags any
+in-band ray whose interpolation taps would clamp to a window edge that
+is not the global border (possible only when the marched ray drifts
+beyond the plan's margin off its straight track), and the renderer
+raises instead of shipping silently wrong samples.
 
 Reference parity: evaluation of the eikonal marcher C13 for volumes
 beyond VMEM (SURVEY.md; trace_rays_through_density_gradients.h:
-1455-1544 marches any texture size); routing in models.render_fast.
+1455-1544 marches any texture size — in both directions here); routing
+in models.render_fast.
 """
 from __future__ import annotations
 
@@ -89,8 +104,11 @@ def _dot_split(a, b, dn, passes: int):
 
 _SUPPORT = 3              # cubic tap reach (+1 drift/rounding margin)
 _MARGIN = 6               # window slack: support + deflection + rounding
-# window VMEM budget: (Ww*4, 2*Hw) f32 x 3 bf16-split copies
-_WIN_VMEM_MAX = 6 << 20
+# cap on the kernel's window-proportional VMEM terms (derived per plan
+# in plan_windows); the per-kernel vmem_limit_bytes is 64 MB, and the
+# gap is Mosaic's scheduling headroom plus the B-sized VJP transients
+# of the backward kernel
+_WIN_VMEM_MAX = 24 << 20
 
 
 class WindowPlan(NamedTuple):
@@ -172,11 +190,17 @@ def _padded_dims(w: int, h: int):
 
     When a dim is not a multiple of its DMA granularity (x: 32 voxels =
     128 lanes at 4 channels; y: 8 sublanes) the field is padded with
-    BORDER-REPLICATED voxels, by at least the cubic tap support (3) so
-    clamped-tap semantics hold without border folds on the padded side.
+    BORDER-REPLICATED voxels, by at least 2 * _SUPPORT so clamped-tap
+    semantics hold without border folds on the padded side: the kernel
+    clips padded-axis coordinates to n - 1 - _SUPPORT, placing the
+    tricubic stencil's lowest tap at n - 1 - 2 * _SUPPORT + 1 — with
+    only _SUPPORT pad voxels that tap would land on the REAL voxel
+    w - 2 and blend it, where the dense kernel's fold semantics yield
+    exactly the border value w - 1; >= 2 * _SUPPORT pad puts every tap
+    of a clipped ray on replicated border voxels.
     """
-    w_pad = w if w % 32 == 0 else -(-(w + _SUPPORT) // 32) * 32
-    h_pad = h if h % 8 == 0 else -(-(h + _SUPPORT) // 8) * 8
+    w_pad = w if w % 32 == 0 else -(-(w + 2 * _SUPPORT) // 32) * 32
+    h_pad = h if h % 8 == 0 else -(-(h + 2 * _SUPPORT) // 8) * 8
     return w_pad, h_pad
 
 
@@ -278,7 +302,19 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     # the window carries the snap slack on top of extent + margins.
     win_w = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
     win_h = min(h_pad, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
-    if win_w * 4 * 2 * win_h * 4 * 3 > _WIN_VMEM_MAX:
+    # window-proportional VMEM terms of the kernel (per-byte):
+    #   * double-buffered DMA scratch: 2 slots x 2 halves x (Hw, Ww*4) f32
+    #   * bf16-split compute copies of the (2Hw, Ww*4) view: a_hi + a_lo
+    #     at the default passes=2 (one copy at passes=1 — budget assumes 2)
+    #   * the A contraction result (Ww*4, B) and the weight rows
+    #     ((Ww, B) + wy_cat (2Hw, B) + its (Hw, B) factor)
+    # The 64 MB per-kernel vmem_limit leaves Mosaic headroom for its own
+    # scheduling copies; _WIN_VMEM_MAX caps the explicit terms well below.
+    win_bytes = (2 * 2 * win_h * win_w * 4 * 4          # DMA scratch
+                 + 2 * 2 * win_h * win_w * 4 * 4        # split copies
+                 + win_w * 4 * block * 4                # A
+                 + (win_w + 3 * win_h) * block * 4)     # weight rows
+    if win_bytes > _WIN_VMEM_MAX:
         return None
     if require_profit and win_w * win_h * 4 >= w_pad * h_pad:
         return None                    # windows would not beat dense
@@ -344,17 +380,84 @@ def _weights_T_win(u_row, n: int, scheme: int, gl, gr, padded: bool):
     return jnp.maximum(0.0, 1.0 - jnp.abs(uc - iota))
 
 
+def _weights_T_win_du(u_row, n: int, scheme: int, gl, gr, padded: bool):
+    """d(window weights)/du: the _weights_T_du twin of
+    :func:`_weights_T_win` — same clip bounds, same gl/gr fold gating
+    (the fold derivative terms scale by the same 0/1 border scalars)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+    from photon_tpu.ops.march_dense_pallas import _b3_d
+    hi_t = float(n - 1 - _SUPPORT) if padded else float(n - 1)
+    hi_c = float(n - 1 - _SUPPORT) if padded else float(n + 1)
+    if scheme == 2:
+        uc = jnp.clip(u_row, -2.0, hi_c)
+        mask = ((u_row > -2.0) & (u_row < hi_c)).astype(jnp.float32)
+        d = _b3_d(uc - iota)
+        fold_l = _b3_d(uc + 1.0) + _b3_d(uc + 2.0) + _b3_d(uc + 3.0)
+        fold_r = _b3_d(uc - n) + _b3_d(uc - (n + 1.0)) + _b3_d(uc - (n + 2.0))
+        d = d + jnp.where(iota == 0.0, gl * fold_l, 0.0) \
+            + jnp.where(iota == n - 1.0, gr * fold_r, 0.0)
+        return d * mask
+    uc = jnp.clip(u_row, 0.0, hi_t)
+    mask = ((u_row > 0.0) & (u_row < hi_t)).astype(jnp.float32)
+    diff = uc - iota
+    live = (jnp.abs(diff) < 1.0).astype(jnp.float32)
+    return -jnp.sign(diff) * live * mask
+
+
+def _drift_violation(ux, uy, gl_x, gr_x, gl_y, gr_y, in_band,
+                     *, Ww: int, Hw: int, scheme: int,
+                     padded_x: bool, padded_y: bool):
+    """(1, B) 0/1 flag: taps of this LOCAL coordinate would clamp to a
+    window edge that is NOT the global border — i.e. the marched ray
+    drifted beyond the plan's margin and the sample is wrong.  Straight
+    in-plan tracks sit >= _SUPPORT voxels inside the window by
+    construction (plan coverage check), so this never fires for media
+    honoring the drift contract."""
+    def ax(u, n, gl, gr, padded):
+        if padded:
+            hi = float(n - 1 - _SUPPORT)      # clip bound (see weights)
+        else:
+            hi = float(n - 2) if scheme == 2 else float(n - 1)
+        lo = 1.0 if scheme == 2 else 0.0
+        eps = 1e-3
+        return (((u < lo - eps) & (gl == 0.0))
+                | ((u > hi + eps) & (gr == 0.0)))
+    bad = ax(ux, Ww, gl_x, gr_x, padded_x) \
+        | ax(uy, Hw, gl_y, gr_y, padded_y)
+    return jnp.where(bad & in_band, 1.0, 0.0)
+
+
 def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
-                   out_ref, scratch, win, sem,
-                   *, W: int, H: int, S: int, Ww: int, Hw: int, B: int,
-                   scheme: int, algorithm: int, substeps: int,
-                   passes: int, padded_x: bool, padded_y: bool):
+                   out_ref, viol_ref, scratch, win, sem, **kw):
+    return _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref,
+                               pairs_hbm, out_ref, viol_ref, None,
+                               scratch, win, sem, **kw)
+
+
+def _window_kernel_traj(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
+                        out_ref, viol_ref, traj_ref, scratch, win, sem,
+                        **kw):
+    return _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref,
+                               pairs_hbm, out_ref, viol_ref, traj_ref,
+                               scratch, win, sem, **kw)
+
+
+def _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
+                        out_ref, viol_ref, traj_ref, scratch, win, sem,
+                        *, W: int, H: int, S: int, Ww: int, Hw: int, B: int,
+                        scheme: int, algorithm: int, substeps: int,
+                        passes: int, padded_x: bool, padded_y: bool):
     """One (ray block g, slab s) step of the windowed march.
 
     pairs_hbm: the field's natural (D, H, W*4) reshape in ANY/HBM
     space (zero-copy even at 512^3); the kernel DMAs the (Hw, Ww*4) lo
     and hi halves of its window into ``win``.
     ox_ref/oy_ref: (G, S) SMEM window origins (voxels).
+    viol_ref: (1, 1, B) drift-contract flags, OR-accumulated over steps
+    (see :func:`_drift_violation`).
+    traj_ref: optional (1, 1, rows, B) per-(g, s) STAGE-STATE residual —
+    the input state of each RK4 stage (just s1 for Euler), the windowed
+    backward kernel's linearization points (march_dense_fused's design).
     """
     g = pl.program_id(0)
     s = pl.program_id(1)
@@ -362,6 +465,7 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     @pl.when(s == 0)
     def _():
         scratch[:] = state_ref[0]
+        viol_ref[0] = jnp.zeros((1, B), jnp.float32)
 
     # slab step s consumes field depth rows S-1-s (lo) and S-s (hi) —
     # no packed duplicate of the multi-GB field is ever materialized.
@@ -425,6 +529,19 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     gl_y = jnp.where(oy == 0, 1.0, 0.0)
     gr_y = jnp.where(oy + Hw == H, 1.0, 0.0)
 
+    # drift-contract check on the step's ENTRY state (stage positions
+    # stay within the entry/exit track bounds the plan unioned; the
+    # contract-relevant quantity — deviation from the straight track —
+    # varies smoothly, so per-step entry sampling bounds it to within
+    # one step's micro-voxel drift increment)
+    ux0 = 0.5 + (x - min_x) / sx - oxf
+    uy0 = 0.5 + (y - min_y) / sy - oyf
+    viol_ref[0] = jnp.maximum(
+        viol_ref[0],
+        _drift_violation(ux0, uy0, gl_x, gr_x, gl_y, gr_y, in_band,
+                         Ww=Ww, Hw=Hw, scheme=scheme,
+                         padded_x=padded_x, padded_y=padded_y))
+
     lo_cur, hi_cur = win_dmas(s, slot)
     lo_cur.wait()
     hi_cur.wait()
@@ -462,8 +579,27 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     if algorithm == 1:
         k1 = rhs(x, y, Tx, Ty, Tz, z)
         new = tuple(v + hstep * k for v, k in zip(st, k1))
+        if traj_ref is not None:
+            traj_ref[0, 0] = jnp.concatenate(
+                list(st) + [jnp.zeros((3, B), jnp.float32)], axis=0)
     elif substeps == 1:
-        new = rk4_sub(st, hstep, z)
+        if traj_ref is not None:
+            h2 = hstep / 2.0
+            k1 = rhs(*st, z)
+            s2 = tuple(v + h2 * k for v, k in zip(st, k1))
+            k2 = rhs(*s2, z + h2)
+            s3 = tuple(v + h2 * k for v, k in zip(st, k2))
+            k3 = rhs(*s3, z + h2)
+            s4v = tuple(v + hstep * k for v, k in zip(st, k3))
+            k4 = rhs(*s4v, z + hstep)
+            s6 = hstep / 6.0
+            new = tuple(v + s6 * (a + 2 * b + 2 * c + dd)
+                        for v, a, b, c, dd in zip(st, k1, k2, k3, k4))
+            traj_ref[0, 0] = jnp.concatenate(
+                list(st) + list(s2) + list(s3) + list(s4v)
+                + [jnp.zeros((4, B), jnp.float32)], axis=0)
+        else:
+            new = rk4_sub(st, hstep, z)
     else:
         hs = hstep / substeps
         new = st
@@ -483,14 +619,34 @@ def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
         out_ref[0] = scratch[:]
 
 
-def _window_call(static, params, ox, oy, state, pairs):
+def _window_call(static, params, ox, oy, state, pairs,
+                 save_traj: bool = False):
+    """state: (G, 8, B); pairs: (D, Hp, Wp*4) in ANY/HBM space.
+
+    Returns (out, viol) — plus the (G, S, rows, B) stage residual with
+    ``save_traj`` (the windowed backward kernel's linearization points).
+    """
     (W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret,
-     passes, padded_x, padded_y) = static
+     passes, padded_x, padded_y) = static[:13]
     G = state.shape[0]
     kern = functools.partial(
-        _window_kernel, W=W, H=H, S=S, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
+        _window_kernel_traj if save_traj else _window_kernel,
+        W=W, H=H, S=S, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
         algorithm=algorithm, substeps=substeps, passes=passes,
         padded_x=padded_x, padded_y=padded_y)
+    out_specs = [pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1, B), lambda g, s: (g, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+                 jax.ShapeDtypeStruct((G, 1, B), jnp.float32)]
+    if save_traj:
+        rows = _stage_rows_win(algorithm)
+        out_specs.append(pl.BlockSpec((1, 1, rows, B),
+                                      lambda g, s: (g, s, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, S, rows, B), jnp.float32))
     return pl.pallas_call(
         kern,
         grid=(G, S),
@@ -502,9 +658,8 @@ def _window_call(static, params, ox, oy, state, pairs):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((8, B), jnp.float32),
                         pltpu.VMEM((2, 2, Hw, Ww * 4), jnp.float32),
                         pltpu.SemaphoreType.DMA((2, 2))],
@@ -514,17 +669,540 @@ def _window_call(static, params, ox, oy, state, pairs):
     )(params, ox, oy, state, pairs)
 
 
+def _stage_rows_win(algorithm: int) -> int:
+    """Sublane rows of the stage-state residual (padded to 8s)."""
+    return 8 if algorithm == 1 else 24
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: reverse slab sweep with windowed field-cotangent RMW
+# ---------------------------------------------------------------------------
+
+# rays per backward kernel call: bounds the (G, 8, B) prim/ct VMEM
+# register files (march_dense_fused's cap; chunks chain through the
+# aliased field-cotangent tensor)
+_BWD_WIN_MAX_RAYS = 64 * 1024
+
+
+def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
+                       pairs_hbm, ct_in_ref, ctf_in,
+                       dfield_ref, dstate_ref,
+                       prim_scratch, ct_scratch, win, ctwin,
+                       sem, ctsem, ldsem,
+                       *, W: int, H: int, S: int, G: int, Ww: int, Hw: int,
+                       B: int, scheme: int, algorithm: int,
+                       defect_iters: int, padded_x: bool, padded_y: bool,
+                       has_traj: bool):
+    """One (reversed slab si, ray block g) step of the windowed backward.
+
+    The slab axis is OUTER and reversed (forward step s = S-1-si); two
+    (G, 8, B) VMEM register files persist across the sweep: the PRIMAL
+    state (streamed stage states when ``has_traj``, else reconstructed
+    by reverse re-march like march_dense_fused._bwd_fused_kernel) and
+    the cotangent state.
+
+    The field cotangent lives in ``dfield_ref`` — the full (D, Hp, Wp*4)
+    HBM tensor, input/output-aliased with ``ctf_in`` (zeros from the
+    wrapper, or the running accumulator when ray chunks chain).  Each
+    step DMAs its (2, Hw, Ww*4) window of it into ``ctwin``, adds the
+    step's local ct_pair, and writes it back: the TPU grid is
+    sequential, so overlapping windows of consecutive steps accumulate
+    race-free — the write is waited before the NEXT step's read (both
+    overlap that step's VJP-chain compute, so the serialization costs
+    only the read's ~2 us tail against a ~10 us compute body).
+    """
+    si = pl.program_id(0)
+    g = pl.program_id(1)
+    s = S - 1 - si                      # forward step index
+
+    min_x = params_ref[0]
+    min_y = params_ref[1]
+    sx = params_ref[2]
+    sy = params_ref[3]
+    z_min = params_ref[4]
+    dz_slab = params_ref[5]
+
+    ks = si.astype(jnp.float32)
+    z_plane = jnp.maximum(z_min + (ks - 0.5) * dz_slab, z_min)
+    plane_prev = z_min + (ks + 0.5) * dz_slab
+
+    @pl.when(si == 0)
+    def _():
+        ld1 = pltpu.make_async_copy(out_ref.at[g], prim_scratch.at[g],
+                                    ldsem)
+        ld1.start()
+        ld1.wait()
+        ld2 = pltpu.make_async_copy(ct_in_ref.at[g], ct_scratch.at[g],
+                                    ldsem)
+        ld2.start()
+        ld2.wait()
+
+    # ---- field window DMA (double-buffered across the g axis) ---------
+    def win_dmas(step, gi, slot):
+        oxw = ox_ref[gi, step]
+        oyw = oy_ref[gi, step]
+        ox4 = pl.multiple_of(oxw * 4, 128)
+        oy8 = pl.multiple_of(oyw, 8)
+        lo = pltpu.make_async_copy(
+            pairs_hbm.at[S - 1 - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+            win.at[slot, 0], sem.at[slot, 0])
+        hi = pltpu.make_async_copy(
+            pairs_hbm.at[S - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+            win.at[slot, 1], sem.at[slot, 1])
+        return lo, hi
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        lo, hi = win_dmas(s, g, slot)
+        lo.start()
+        hi.start()
+
+    @pl.when(g + 1 < G)
+    def _():
+        lo, hi = win_dmas(s, g + 1, 1 - slot)
+        lo.start()
+        hi.start()
+
+    ox = ox_ref[g, s]
+    oy = oy_ref[g, s]
+    oxf = ox.astype(jnp.float32)
+    oyf = oy.astype(jnp.float32)
+    gl_x = jnp.where(ox == 0, 1.0, 0.0)
+    gr_x = jnp.where(ox + Ww == W, 1.0, 0.0)
+    gl_y = jnp.where(oy == 0, 1.0, 0.0)
+    gr_y = jnp.where(oy + Hw == H, 1.0, 0.0)
+
+    prim = prim_scratch[g]
+    inside = prim[6:7]
+    z0 = prim[7:8]
+    z_entry = jnp.minimum(z0, plane_prev)
+    in_band = (inside > 0.0) & (z_entry > z_plane)
+    h = z_plane - z_entry               # forward hstep (negative)
+
+    ct = ct_scratch[g]
+    ct_x, ct_y, ct_z = ct[0:1], ct[1:2], ct[2:3]
+    ct_Tx, ct_Ty, ct_Tz = ct[3:4], ct[4:5], ct[5:6]
+
+    zero = jnp.zeros_like(ct_x)
+    gate = in_band.astype(jnp.float32)
+    d_new = (ct_x * gate, ct_y * gate, ct_Tx * gate, ct_Ty * gate,
+             ct_Tz * gate)
+
+    lo_cur, hi_cur = win_dmas(s, g, slot)
+    lo_cur.wait()
+    hi_cur.wait()
+    win2d = win[slot].reshape(2 * Hw, Ww * 4)
+
+    dn_A = (((0,), (0,)), ((), ()))     # win2d (2Hw, Ww4) x wy (2Hw, B)
+    dn_ctp = (((1,), (1,)), ((), ()))   # wy_cat (2Hw, B) x d_A (Ww4, B)
+    dn_dwy = (((1,), (0,)), ((), ()))   # win2d (2Hw, Ww4) x d_A (Ww4, B)
+
+    def dot1(a, b, dn):
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32)
+
+    def add5(a, c, b):
+        return tuple(ai + c * bi for ai, bi in zip(a, b))
+
+    def dot5(a, b):
+        return sum(ai * bi for ai, bi in zip(a, b))
+
+    def coords(px, py, z_at):
+        uz_raw = (z_at - z_plane) / dz_slab
+        uz = jnp.clip(uz_raw, 0.0, 1.0)
+        ux = 0.5 + (px - min_x) / sx - oxf
+        uy = 0.5 + (py - min_y) / sy - oyf
+        return ux, uy, uz, uz_raw
+
+    def rhs(st, z_at):
+        """Single-pass window-local stage RHS (gated 1/tz — see
+        march_dense_fused._bwd_fused_kernel.rhs for the rationale)."""
+        px, py, tx, ty, tz = st
+        ux, uy, uz, _ = coords(px, py, z_at)
+        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x, padded_x)
+        vals = _weights_T_win(uy, Hw, scheme, gl_y, gr_y, padded_y)
+        wy_cat = jnp.concatenate([vals * (1.0 - uz), vals * uz], axis=0)
+        A = dot1(win2d, wy_cat, dn_A)
+        s4c = jnp.sum(A.reshape(Ww, 4, B) * wx[:, None, :], axis=0)
+        gx, gy, gz, nm1 = s4c[0:1], s4c[1:2], s4c[2:3], s4c[3:4]
+        inv = jnp.where(in_band, 1.0 / tz, 0.0)
+        gfac = (1.0 + nm1) * inv
+        return (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
+
+    def vjp_stage(st, z_at, d5):
+        """One merged sample-recompute + cotangent unit (window-local
+        twin of march_dense_fused._bwd_stage_kernel.vjp_stage)."""
+        px, py, tx, ty, tz = st
+        ux, uy, uz, uz_raw = coords(px, py, z_at)
+        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x, padded_x)
+        vals = _weights_T_win(uy, Hw, scheme, gl_y, gr_y, padded_y)
+        wy_cat = jnp.concatenate([vals * (1.0 - uz), vals * uz], axis=0)
+        A_r = dot1(win2d, wy_cat, dn_A).reshape(Ww, 4, B)
+        s4c = jnp.sum(A_r * wx[:, None, :], axis=0)
+        gx, gy, gz, nm1 = s4c[0:1], s4c[1:2], s4c[2:3], s4c[3:4]
+        inv = jnp.where(in_band, 1.0 / tz, 0.0)
+        gfac = (1.0 + nm1) * inv
+        k = (tx * inv, ty * inv, gfac * gx, gfac * gy, gfac * gz)
+
+        d0, d1, d2, d3, d4 = d5
+        d_gx = d2 * gfac
+        d_gy = d3 * gfac
+        d_gz = d4 * gfac
+        d_gfac = d2 * gx + d3 * gy + d4 * gz
+        d_nm1 = d_gfac * inv
+        d_inv = d0 * tx + d1 * ty + d_gfac * (1.0 + nm1)
+        d_tx = d0 * inv
+        d_ty = d1 * inv
+        d_tz = -(inv * inv) * d_inv
+        d_s4 = jnp.concatenate([d_gx, d_gy, d_gz, d_nm1], axis=0)
+        d_A = (wx[:, None, :] * d_s4[None]).reshape(Ww * 4, B)
+        d_wx = jnp.sum(A_r * d_s4[None], axis=1)
+        d_ux = jnp.sum(
+            d_wx * _weights_T_win_du(ux, Ww, scheme, gl_x, gr_x, padded_x),
+            axis=0, keepdims=True)
+        ct_pair = dot1(wy_cat, d_A, dn_ctp)            # (2Hw, Ww4)
+        d_wy_cat = dot1(win2d, d_A, dn_dwy)            # (2Hw, B)
+        d_wy = d_wy_cat[:Hw] * (1.0 - uz) + d_wy_cat[Hw:] * uz
+        d_uy = jnp.sum(
+            d_wy * _weights_T_win_du(uy, Hw, scheme, gl_y, gr_y, padded_y),
+            axis=0, keepdims=True)
+        d_uz = jnp.sum((d_wy_cat[Hw:] - d_wy_cat[:Hw]) * vals,
+                       axis=0, keepdims=True)
+        mask = ((uz_raw >= 0.0) & (uz_raw <= 1.0)).astype(jnp.float32)
+        d_z_at = d_uz * mask / dz_slab
+        d_state = (d_ux / sx, d_uy / sy, d_tx, d_ty, d_tz)
+        return d_state, d_z_at, ct_pair, k
+
+    # ---- stage states: streamed residual or reverse reconstruction ----
+    if has_traj:
+        t = traj_ref[0, 0]
+        # gate saved stage states by in_band (out-of-band lanes carry
+        # pass-through values computed with UNGATED 1/tz in the forward;
+        # the ct_pair contraction sums over the ray axis, so one
+        # poisoned lane would NaN the whole field gradient)
+        stages = [tuple(jnp.where(in_band, t[5 * i + j:5 * i + j + 1], 0.0)
+                        for j in range(5))
+                  for i in range(1 if algorithm == 1 else 4)]
+        if algorithm == 1:
+            s1 = stages[0]
+        else:
+            s1, s2, s3, s4v = stages
+    else:
+        x, y = prim[0:1], prim[1:2]
+        Tx, Ty, Tz = prim[3:4], prim[4:5], prim[5:6]
+        st_exit = (x, y, Tx, Ty, Tz)
+        if algorithm == 1:
+            # fixed-point inverse of the forward Euler step; on coarse-z
+            # anisotropic grids the contraction is slow, so the defect
+            # ladder extends the iteration count (measured: tricubic on
+            # a 37x-anisotropic grid needs the extra trips for gradient
+            # parity with the stage path)
+            k_e = rhs(st_exit, z_plane)
+            guess = add5(st_exit, -h, k_e)
+            for _ in range(2 + 2 * defect_iters):
+                k_g = rhs(guess, z_entry)
+                guess = add5(st_exit, -h, k_g)
+            st_rec = guess
+        else:
+            def rk4(stv, hh, z_at):
+                k1 = rhs(stv, z_at)
+                h2 = hh / 2.0
+                k2 = rhs(add5(stv, h2, k1), z_at + h2)
+                k3 = rhs(add5(stv, h2, k2), z_at + h2)
+                k4 = rhs(add5(stv, hh, k3), z_at + hh)
+                return tuple(v + hh / 6.0 * (a + 2 * b + 2 * c + d)
+                             for v, a, b, c, d in zip(stv, k1, k2, k3, k4))
+            st_rec = rk4(st_exit, -h, z_plane)
+            for _ in range(defect_iters):
+                fwd_rec = rk4(st_rec, h, z_entry)
+                st_rec = tuple(e - (f - xv)
+                               for e, f, xv in zip(st_rec, fwd_rec,
+                                                   st_exit))
+        s1 = tuple(jnp.where(in_band, r, v)
+                   for r, v in zip(st_rec, st_exit))
+        if algorithm != 1:
+            h2r = h / 2.0
+            k1r = rhs(s1, z_entry)
+            s2 = add5(s1, h2r, k1r)
+            k2r = rhs(s2, z_entry + h2r)
+            s3 = add5(s1, h2r, k2r)
+            k3r = rhs(s3, z_entry + h2r)
+            s4v = add5(s1, h, k3r)
+
+    # ---- cotangent chain (identical structure to the dense kernels) ---
+    if algorithm == 1:
+        d_k1 = tuple(h * d for d in d_new)
+        v1, d_z1, ctp, k1 = vjp_stage(s1, z_entry, d_k1)
+        d_st = add5(d_new, 1.0, v1)
+        d_h = dot5(d_new, k1)
+        d_z = d_z1 - d_h
+    else:
+        h2 = h / 2.0
+        d_k4 = tuple((h / 6.0) * d for d in d_new)
+        v4, d_z4, ctp4, k4 = vjp_stage(s4v, z_entry + h, d_k4)
+        d_k3 = add5(tuple((h / 3.0) * d for d in d_new), h, v4)
+        v3, d_z3, ctp3, k3 = vjp_stage(s3, z_entry + h2, d_k3)
+        d_k2 = add5(tuple((h / 3.0) * d for d in d_new), h2, v3)
+        v2, d_z2, ctp2, k2 = vjp_stage(s2, z_entry + h2, d_k2)
+        d_k1 = add5(tuple((h / 6.0) * d for d in d_new), h2, v2)
+        v1, d_z1, ctp1, k1 = vjp_stage(s1, z_entry, d_k1)
+
+        d_st = add5(add5(add5(add5(d_new, 1.0, v4), 1.0, v3), 1.0, v2),
+                    1.0, v1)
+        combo = tuple(a + 2.0 * b + 2.0 * c + d
+                      for a, b, c, d in zip(k1, k2, k3, k4))
+        d_h = (dot5(d_new, combo) / 6.0 + dot5(v4, k3) + d_z4
+               + 0.5 * dot5(v3, k2) + 0.5 * d_z3
+               + 0.5 * dot5(v2, k1) + 0.5 * d_z2)
+        d_z = d_z4 + d_z3 + d_z2 + d_z1 - d_h
+        ctp = ctp1 + ctp2 + ctp3 + ctp4
+
+    # ---- RMW the window of the global field cotangent -----------------
+    # wait the PREVIOUS step's write before reading the (possibly
+    # overlapping) current window; the wait lands after this step's
+    # compute, so the in-flight write overlapped it entirely
+    @pl.when((si > 0) | (g > 0))
+    def _():
+        pg = jnp.where(g > 0, g - 1, G - 1)
+        psi = jnp.where(g > 0, si, si - 1)
+        ps = S - 1 - psi
+        pox = pl.multiple_of(ox_ref[pg, ps] * 4, 128)
+        poy = pl.multiple_of(oy_ref[pg, ps], 8)
+        w_lo = pltpu.make_async_copy(
+            ctwin.at[0], dfield_ref.at[S - 1 - ps, pl.ds(poy, Hw),
+                                       pl.ds(pox, Ww * 4)], ctsem.at[0])
+        w_hi = pltpu.make_async_copy(
+            ctwin.at[1], dfield_ref.at[S - ps, pl.ds(poy, Hw),
+                                       pl.ds(pox, Ww * 4)], ctsem.at[1])
+        w_lo.wait()
+        w_hi.wait()
+
+    ox4 = pl.multiple_of(ox * 4, 128)
+    oy8 = pl.multiple_of(oy, 8)
+    r_lo = pltpu.make_async_copy(
+        dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+        ctwin.at[0], ctsem.at[0])
+    r_hi = pltpu.make_async_copy(
+        dfield_ref.at[S - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+        ctwin.at[1], ctsem.at[1])
+    r_lo.start()
+    r_hi.start()
+    r_lo.wait()
+    r_hi.wait()
+    ctp3d = ctp.reshape(2, Hw, Ww * 4)
+    ctwin[0] = ctwin[0] + ctp3d[0]
+    ctwin[1] = ctwin[1] + ctp3d[1]
+    w_lo = pltpu.make_async_copy(
+        ctwin.at[0], dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw),
+                                   pl.ds(ox4, Ww * 4)], ctsem.at[0])
+    w_hi = pltpu.make_async_copy(
+        ctwin.at[1], dfield_ref.at[S - s, pl.ds(oy8, Hw),
+                                   pl.ds(ox4, Ww * 4)], ctsem.at[1])
+    w_lo.start()
+    w_hi.start()
+
+    @pl.when((si == S - 1) & (g == G - 1))
+    def _():
+        w_lo2 = pltpu.make_async_copy(
+            ctwin.at[0], dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw),
+                                       pl.ds(ox4, Ww * 4)], ctsem.at[0])
+        w_hi2 = pltpu.make_async_copy(
+            ctwin.at[1], dfield_ref.at[S - s, pl.ds(oy8, Hw),
+                                       pl.ds(ox4, Ww * 4)], ctsem.at[1])
+        w_lo2.wait()
+        w_hi2.wait()
+
+    # ---- update the register files ------------------------------------
+    sel = in_band
+    if not has_traj:
+        new_prim = jnp.concatenate([
+            s1[0], s1[1], jnp.where(sel, z_entry, prim[2:3]),
+            s1[2], s1[3], s1[4], inside, z0], axis=0)
+        prim_scratch[g] = new_prim
+
+    new_ct = jnp.concatenate([
+        jnp.where(sel, d_st[0], ct_x), jnp.where(sel, d_st[1], ct_y),
+        jnp.where(sel, d_z, ct_z), jnp.where(sel, d_st[2], ct_Tx),
+        jnp.where(sel, d_st[3], ct_Ty), jnp.where(sel, d_st[4], ct_Tz),
+        zero, zero], axis=0)
+    ct_scratch[g] = new_ct
+
+    @pl.when(si == S - 1)
+    def _():
+        stc = pltpu.make_async_copy(ct_scratch.at[g], dstate_ref.at[g],
+                                    ldsem)
+        stc.start()
+        stc.wait()
+
+
+def _bwd_window_kernel_traj(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
+                            pairs_hbm, ct_in_ref, ctf_in, dfield_ref,
+                            dstate_ref, prim_scratch, ct_scratch, win,
+                            ctwin, sem, ctsem, ldsem, **kw):
+    return _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref,
+                              traj_ref, pairs_hbm, ct_in_ref, ctf_in,
+                              dfield_ref, dstate_ref, prim_scratch,
+                              ct_scratch, win, ctwin, sem, ctsem, ldsem,
+                              has_traj=True, **kw)
+
+
+def _bwd_window_kernel_rec(params_ref, ox_ref, oy_ref, out_ref,
+                           pairs_hbm, ct_in_ref, ctf_in, dfield_ref,
+                           dstate_ref, prim_scratch, ct_scratch, win,
+                           ctwin, sem, ctsem, ldsem, **kw):
+    return _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, None,
+                              pairs_hbm, ct_in_ref, ctf_in, dfield_ref,
+                              dstate_ref, prim_scratch, ct_scratch, win,
+                              ctwin, sem, ctsem, ldsem, has_traj=False,
+                              **kw)
+
+
+def _bwd_window_call(static, params, ox, oy, out, traj, pairs, ct_out,
+                     ct_field):
+    """Run the windowed backward kernel over one ray-block chunk.
+
+    ``ct_field`` is the running field-cotangent accumulator — aliased to
+    the ``dfield`` output, so chunked marches chain it without ever
+    materializing a second (D, Hp, Wp*4) tensor.  Returns
+    (dfield, dstate)."""
+    (W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret,
+     passes, padded_x, padded_y) = static[:13]
+    defect_iters = static[13]
+    G = out.shape[0]
+    has_traj = traj is not None
+    kw = dict(W=W, H=H, S=S, G=G, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
+              algorithm=algorithm, defect_iters=defect_iters,
+              padded_x=padded_x, padded_y=padded_y)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # params
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # ox
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # oy
+        pl.BlockSpec(memory_space=pl.ANY),           # out (exit states)
+    ]
+    args = [params, ox, oy, out]
+    if has_traj:
+        rows = _stage_rows_win(algorithm)
+        in_specs.append(
+            pl.BlockSpec((1, 1, rows, B), lambda si, g: (g, S - 1 - si,
+                                                         0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(traj)
+        kern = functools.partial(_bwd_window_kernel_traj, **kw)
+    else:
+        kern = functools.partial(_bwd_window_kernel_rec, **kw)
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),           # pairs (field)
+        pl.BlockSpec(memory_space=pl.ANY),           # ct_out
+        pl.BlockSpec(memory_space=pl.ANY),           # ct_field (aliased)
+    ]
+    args += [pairs, ct_out, ct_field]
+    n_in = len(args)
+    dfield, dstate = pl.pallas_call(
+        kern,
+        grid=(S, G),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(pairs.shape, jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((G, 8, B), jnp.float32),
+                        pltpu.VMEM((G, 8, B), jnp.float32),
+                        pltpu.VMEM((2, 2, Hw, Ww * 4), jnp.float32),
+                        pltpu.VMEM((2, Hw, Ww * 4), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(())],
+        input_output_aliases={n_in - 1: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return dfield, dstate
+
+
+def _bwd_window_eligible(static) -> bool:
+    algorithm, substeps = static[7], static[8]
+    return algorithm in (1, 2) and substeps == 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _window_march(static, params, ox, oy, state, pairs):
+    out, viol = _window_call(static, params, ox, oy, state, pairs)
+    return out, viol
+
+
+def _window_march_fwd(static, params, ox, oy, state, pairs):
+    from photon_tpu.ops.march_dense_fused import _traj_max_bytes
+
+    S, B, algorithm = static[2], static[5], static[7]
+    G = state.shape[0]
+    if _bwd_window_eligible(static):
+        traj_bytes = G * S * _stage_rows_win(algorithm) * B * 4
+        if traj_bytes <= _traj_max_bytes():
+            out, viol, traj = _window_call(static, params, ox, oy, state,
+                                           pairs, save_traj=True)
+            return (out, viol), (params, ox, oy, out, pairs, traj)
+    out, viol = _window_call(static, params, ox, oy, state, pairs)
+    return (out, viol), (params, ox, oy, out, pairs, None)
+
+
+def _window_march_bwd(static, res, cts):
+    """Backward dispatch: the stage cotangent sweep over saved per-stage
+    states when the residual fit the PHOTON_TRAJ_MAX_BYTES budget, else
+    the reverse-re-march reconstruction — both through the same
+    windowed RMW kernel.  The drift-violation output is a diagnostic
+    (zero cotangent)."""
+    ct_out, _ct_viol = cts
+    params, ox, oy, out, pairs, traj = res
+    if not _bwd_window_eligible(static):
+        raise NotImplementedError(
+            "windowed march gradients support Euler/RK4 with substeps=1; "
+            "for substep marches route gradients through the exact/tube "
+            "path (dense_march=False)")
+    B = static[5]
+    G = out.shape[0]
+    max_g = max(1, _BWD_WIN_MAX_RAYS // B)
+    ct_field = jnp.zeros_like(pairs)
+    d_states = []
+    for i in range(0, G, max_g):
+        tr = None if traj is None else traj[i:i + max_g]
+        ct_field, ds = _bwd_window_call(
+            static, params, ox[i:i + max_g], oy[i:i + max_g],
+            out[i:i + max_g], tr, pairs, ct_out[i:i + max_g], ct_field)
+        d_states.append(ds)
+    d_state = (d_states[0] if len(d_states) == 1
+               else jnp.concatenate(d_states, axis=0))
+    zi = functools.partial(np.zeros, dtype=jax.dtypes.float0)
+    return (jnp.zeros_like(params), zi(ox.shape), zi(oy.shape),
+            d_state, ct_field)
+
+
+_window_march.defvjp(_window_march_fwd, _window_march_bwd)
+
+
 def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
                          *, algorithm: int = 2,
                          interpolation_scheme: int = 1,
                          substeps=None, interpret=None,
-                         passes: int = 2):
+                         passes: int = 2, return_violations: bool = False):
     """Windowed twin of march_dense_fused.march_chief_fused.
 
     ``plan`` comes from :func:`plan_windows` on the SAME (host) chief
     states.  Same contract: (P,) chief states in, post-traversal
     (x, y, z, dirx, diry, dirz) out; rays missing the volume pass
-    through unchanged.  Forward-only (see module docstring).
+    through unchanged.  Differentiable for Euler/RK4 (substeps=1) via
+    the windowed backward kernel (see module docstring).
+
+    ``return_violations``: also return a (P,) 0/1 array flagging rays
+    that drifted beyond the plan's margin (their samples clamped to a
+    non-border window edge and are WRONG — the drift contract's runtime
+    enforcement; see _drift_violation).
     """
     from photon_tpu.ops.march_dense import bspline_prefilter_jax
 
@@ -585,12 +1263,21 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
     if substeps is None:
         substeps = 2 if algorithm == 3 else 1
     substeps = max(1, int(substeps))
+    # backward-reconstruction defect iterations for the reverse-re-march
+    # fallback, from the grid's static z/lateral anisotropy
+    # (march_dense_fused.march_chief_fused's ladder)
+    try:
+        ratio = float(dz_slab) / max(min(float(sx), float(sy)), 1e-30)
+        defect_iters = 0 if ratio <= 4.0 else (1 if ratio <= 16.0 else 3)
+    except jax.errors.ConcretizationTypeError:
+        defect_iters = 3
     static = (w_pad, h_pad, d - 1, int(plan.win_w), int(plan.win_h),
               int(B), int(interpolation_scheme), int(algorithm), substeps,
-              bool(interpret), int(passes), w_pad != w, h_pad != h)
+              bool(interpret), int(passes), w_pad != w, h_pad != h,
+              defect_iters)
 
-    out = _window_call(static, params, jnp.asarray(plan.ox),
-                       jnp.asarray(plan.oy), state, field_hbm)
+    out, viol = _window_march(static, params, jnp.asarray(plan.ox),
+                              jnp.asarray(plan.oy), state, field_hbm)
     rows = jnp.transpose(out, (1, 0, 2)).reshape(8, G * B)
 
     # unsort: scatter each slot's result back to its ray (padded slots
@@ -605,7 +1292,13 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
     dirx_f = jnp.where(inside, Tx / Tn, dcx)
     diry_f = jnp.where(inside, Ty / Tn, dcy)
     dirz_f = jnp.where(inside, Tz / Tn, dcz)
-    return x, y, z, dirx_f, diry_f, dirz_f
+    result = (x, y, z, dirx_f, diry_f, dirz_f)
+    if return_violations:
+        vrow = viol.reshape(G * B)
+        viol_p = jnp.zeros((P,), jnp.float32).at[scatter_idx].set(
+            vrow, mode="drop")
+        result = result + (viol_p,)
+    return result
 
 
 def chief_deltas_windowed(vol, plan, xs, ys, zs, dcx, dcy, dcz, *,

@@ -137,6 +137,14 @@ def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
         cfg.camera_design.x_pixel_number = sensor
         cfg.camera_design.y_pixel_number = sensor
         cfg.bos_pattern.grid_point_number = n_dots
+        # overlapping placement: every REQUESTED dot is placed (uniform
+        # draws, no rejection).  The round-4 harness used the default
+        # dart-throwing placement, which silently saturates at ~479 dots
+        # in this fixed-FOV domain — n=4/8 then reran n=2's ray count
+        # while the report still divided T(1)/T(N), making the recorded
+        # efficiencies artifacts.  scaling_report now also *asserts*
+        # constant per-device work below.
+        cfg.bos_pattern.dot_overlap = True
         cfg.bos_pattern.particle_number_per_grid_point = 8
         cfg.bos_pattern.lightray_number_per_particle = rays_per_dot
         m = cfg.lens_design.focal_length / (
@@ -174,10 +182,19 @@ def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
             ts.append(time.time() - t0)
         return sorted(ts)[len(ts) // 2]       # median
 
-    t1 = g1 = None
+    t1 = g1 = rays1 = None
     for n in counts:
         args = scene(n * dots_per_device)
         cfg, setup, src, r1, r2, vol = args
+        # weak scaling is only meaningful at constant per-device work:
+        # refuse to report efficiencies from a saturated scene generator
+        if rays1 is None:
+            rays1 = src.num_rays / counts[0]
+        if src.num_rays != n * rays1:
+            raise AssertionError(
+                f"weak-scaling invariant violated: n={n} runs "
+                f"{src.num_rays} rays, expected {n} * {rays1:.0f} — the "
+                "scene generator did not place the requested dots")
         mesh = make_mesh(n)
 
         def fwd(reduce=True):

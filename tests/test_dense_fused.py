@@ -152,6 +152,10 @@ def test_fused_bwd_reblock_path(monkeypatch):
                                 interpret=True)
         return jnp.sum(out[0] ** 2 + out[3] ** 2 * 1e6)
 
+    # disable the stage residual for BOTH runs: with it the backward
+    # takes the traj path and the reblocked _bwd_fused_call would never
+    # dispatch (the monkeypatched table would be dead)
+    monkeypatch.setattr(mdf, "_traj_max_bytes", lambda: 0)
     g_ref = np.asarray(jax.grad(loss)(vol.field))
     monkeypatch.setattr(mdf, "_BWD_B_FOR_SLAB", ((64 * 64, 512),))
     g_reb = np.asarray(jax.grad(loss)(vol.field))

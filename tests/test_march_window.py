@@ -267,3 +267,198 @@ def test_plan_rejects_degenerate_cases():
     vol = _vol(n=16, d=8)
     ch = _chiefs(2048, spread=5e4)
     assert plan_windows(vol, *ch) is None
+
+
+# ---------------------------------------------------------------------------
+# Windowed backward (round 5): gradients at any volume size
+# ---------------------------------------------------------------------------
+
+
+def _field_loss(marcher):
+    def fn(field):
+        o = marcher(field)
+        return jnp.sum(o[0] ** 2 + o[3] ** 2 * 1e6)
+    return fn
+
+
+@pytest.mark.parametrize("scheme", [1, 2])
+@pytest.mark.parametrize("traj", ["stage", "recompute"])
+def test_windowed_gradients_match_dense(scheme, traj, monkeypatch):
+    """Field gradients through the windowed custom_vjp kernel match the
+    per-stage XLA autodiff oracle — both backward flavors (saved stage
+    residual / reverse re-march reconstruction)."""
+    if traj == "recompute":
+        import photon_tpu.ops.march_dense_fused as mdf
+        monkeypatch.setattr(mdf, "_traj_max_bytes", lambda: 0)
+    vol = _vol(n=64, d=8)
+    ch = _chiefs(2048)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    args = tuple(map(jnp.asarray, ch))
+
+    gw = jax.grad(_field_loss(
+        lambda f: march_chief_windowed(vol._replace(field=f), plan, *args,
+                                       algorithm=2,
+                                       interpolation_scheme=scheme,
+                                       passes=3)))(vol.field)
+    gd = jax.grad(_field_loss(
+        lambda f: march_chief_dense(vol, *args, algorithm=2,
+                                    interpolation_scheme=scheme, field=f,
+                                    use_pallas_sampler=False)))(vol.field)
+    gw, gd = np.asarray(gw).ravel(), np.asarray(gd).ravel()
+    cos = gw @ gd / (np.linalg.norm(gw) * np.linalg.norm(gd))
+    assert cos > 0.9999, cos
+    rel = np.abs(gw - gd).max() / np.abs(gd).max()
+    assert rel < 5e-4, rel
+
+
+def test_windowed_euler_gradients_match_dense(monkeypatch):
+    import photon_tpu.ops.march_dense_fused as mdf
+    vol = _vol(n=64, d=8)
+    ch = _chiefs(2048, seed=4)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    args = tuple(map(jnp.asarray, ch))
+    gd = np.asarray(jax.grad(_field_loss(
+        lambda f: march_chief_dense(vol, *args, algorithm=1, field=f,
+                                    use_pallas_sampler=False)))(
+                        vol.field)).ravel()
+    for traj_bytes in (None, 0):
+        if traj_bytes is not None:
+            monkeypatch.setattr(mdf, "_traj_max_bytes", lambda: 0)
+        gw = np.asarray(jax.grad(_field_loss(
+            lambda f: march_chief_windowed(vol._replace(field=f), plan,
+                                           *args, algorithm=1,
+                                           passes=3)))(vol.field)).ravel()
+        cos = gw @ gd / (np.linalg.norm(gw) * np.linalg.norm(gd))
+        assert cos > 0.9999, cos
+
+
+def test_windowed_state_gradients_match_dense():
+    """Ray-state (entry z) gradients through the windowed kernel."""
+    vol = _vol(n=64, d=8)
+    ch = _chiefs(2048, seed=6)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    args = tuple(map(jnp.asarray, ch))
+
+    def loss(marcher):
+        def fn(z0):
+            o = marcher(z0)
+            return jnp.sum(o[0] ** 2 + o[3] ** 2 * 1e6)
+        return fn
+
+    gz_w = np.asarray(jax.grad(loss(
+        lambda z0: march_chief_windowed(vol, plan, args[0], args[1], z0,
+                                        *args[3:], algorithm=2,
+                                        passes=3)))(args[2]))
+    gz_d = np.asarray(jax.grad(loss(
+        lambda z0: march_chief_dense(vol, args[0], args[1], z0, *args[3:],
+                                     algorithm=2,
+                                     use_pallas_sampler=False)))(args[2]))
+    denom = np.abs(gz_d).max()
+    assert denom > 0
+    np.testing.assert_allclose(gz_w / denom, gz_d / denom, atol=1e-5)
+
+
+def test_windowed_gradients_beyond_dense_cap(monkeypatch):
+    """The verdict's acceptance case: a volume whose slab exceeds the
+    fused dense cap (>256^2) gets windowed gradients with cosine
+    >= 0.9999 against the exact-semantics XLA autodiff (the dense
+    sampler with its production memory guard lifted — the TUBE path is
+    not a valid gradient oracle: its finite tube width truncates the
+    tap support of edge voxels, measured cos ~0.98)."""
+    rng = np.random.default_rng(11)
+    w, h, d = 320, 224, 6
+    lo, hi, z0, z1 = -9e4, 9e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, w)
+    vox = x[1] - x[0]
+    rho = 1.225 + 0.08 * rng.random((w, h, d))
+    vol = build_density_volume(
+        rho, [vox, vox, (z1 - z0) / (d - 1)], [lo, lo * h / w, z0])
+    assert w * h > 256 * 256
+    from photon_tpu.ops.march_dense import dense_march_supported
+    assert not dense_march_supported(vol)
+
+    p = 4096
+    xs = rng.uniform(-8.5e4, 8.5e4, p)
+    ys = rng.uniform(-0.45 * vox * h, 0.45 * vox * h, p)
+    zs = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = rng.uniform(-0.01, 0.01, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    ch = tuple(np.asarray(a, np.float32) for a in
+               (xs, ys, zs, tx * inv, ty * inv, -inv))
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    args = tuple(map(jnp.asarray, ch))
+
+    import photon_tpu.ops.march_dense as md
+    monkeypatch.setattr(md, "DENSE_MAX_SLAB", 1 << 30)
+
+    def dloss(deltas):
+        return jnp.sum(deltas[1] ** 2 + deltas[3] ** 2 * 1e6)
+
+    gw = np.asarray(jax.grad(lambda f: dloss(chief_deltas_windowed(
+        vol._replace(field=f), plan, *args, algorithm=2,
+        passes=3)))(vol.field)).ravel()
+    from photon_tpu.ops.march_dense import chief_deltas_dense
+    gd = np.asarray(jax.grad(lambda f: dloss(chief_deltas_dense(
+        vol, *args, algorithm=2, field=f,
+        use_pallas_sampler=False)))(vol.field)).ravel()
+    cos = gw @ gd / (np.linalg.norm(gw) * np.linalg.norm(gd))
+    assert cos > 0.9999, cos
+    rel = np.abs(gw - gd).max() / np.abs(gd).max()
+    assert rel < 1e-3, rel
+
+
+def test_windowed_drift_violation_flags():
+    """Runtime enforcement of the plan's drift contract: a physical
+    field flags nothing; a violently refractive white-noise field (rays
+    bend many voxels off the straight track) raises per-ray flags
+    instead of silently reading clamped window edges."""
+    # physical field: no violations
+    vol = _vol(n=96, d=8)
+    ch = _chiefs(4096, seed=8)
+    plan = plan_windows(vol, *ch, require_profit=False)
+    assert plan is not None
+    args = tuple(map(jnp.asarray, ch))
+    out = march_chief_windowed(vol, plan, *args, return_violations=True)
+    assert len(out) == 7
+    assert float(np.asarray(out[6]).sum()) == 0.0
+
+    # contract-violating scene: rays clustered in a narrow y band (the
+    # serpentine plan then cuts TIGHT windows around their straight
+    # tracks) marched through an absurd uniform lateral density
+    # gradient (120 kg/m^3 across the volume, ~20 voxels of coherent
+    # drift).  The marched rays exit their windows: samples clamp at
+    # non-border edges — exactly the "wrong sample" condition the
+    # runtime flag must catch.  NOTE: drift alone does NOT flag — a
+    # generous window still samples exactly (zero flags above is the
+    # correct, not the lenient, answer).
+    n, d = 96, 8
+    lo, hi, z0, z1 = -6e4, 6e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, n)
+    yy = np.linspace(0.0, 1.0, n)
+    rho = 1.225 + 120.0 * yy[None, :, None] * np.ones((n, 1, d))
+    vol_bad = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], (z1 - z0) / (d - 1)], [lo, lo, z0])
+    rng = np.random.default_rng(21)
+    p = 4096
+    vox = x[1] - x[0]
+    xs_b = rng.uniform(-5.5e4, 5.5e4, p)
+    ys_b = rng.uniform(-2.0 * vox, 2.0 * vox, p)     # narrow band
+    zs_b = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = np.zeros(p)
+    inv = 1.0 / np.sqrt(tx * tx + 1.0)
+    ch_b = tuple(np.asarray(a, np.float32) for a in
+                 (xs_b, ys_b, zs_b, tx * inv, ty, -inv))
+    plan_b = plan_windows(vol_bad, *ch_b, require_profit=False)
+    if plan_b is None:
+        pytest.skip("plan declined outright (also acceptable)")
+    assert plan_b.win_h < 48, plan_b.win_h       # windows must be tight
+    out_b = march_chief_windowed(vol_bad, plan_b,
+                                 *map(jnp.asarray, ch_b),
+                                 return_violations=True)
+    assert float(np.asarray(out_b[6]).sum()) > 0.0
