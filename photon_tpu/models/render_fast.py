@@ -202,6 +202,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
     # the BOS bench); tube extraction remains for very large volumes.)
     deltas6 = None
     tubes = None
+    viol_count = None
     if vol is not None:
         entry, chief = _chief_geometry(vol, xs, ys, zs, inv_rot,
                                        params.z_offset,
@@ -214,14 +215,19 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
         elif chief_march and window_arrays is not None:
             # large-volume windowed fused march (ops.march_window):
             # per-block slab windows planned host side from the straight
-            # chief tracks; per-ray cost independent of volume size
+            # chief tracks; per-ray cost independent of volume size.
+            # The kernel's drift-contract flags ride along so the caller
+            # can refuse silently-wrong clamped samples (see
+            # render_image_fast's PHOTON_WINDOW_CHECK policy).
             from photon_tpu.ops.march_window import (WindowPlan,
                                                      chief_deltas_windowed)
             plan = WindowPlan(*window_arrays, *window_shape)
-            deltas6 = chief_deltas_windowed(
+            *deltas6, viol = chief_deltas_windowed(
                 vol, plan, *chief, algorithm=algorithm,
                 interpolation_scheme=interpolation_scheme,
-                substeps=march_substeps)
+                substeps=march_substeps, return_violations=True)
+            deltas6 = tuple(deltas6)
+            viol_count = jnp.sum(viol)
         elif chief_march:
             deltas6 = chief_deltas_chunked(
                 vol, *entry, *chief, algorithm=algorithm,
@@ -401,7 +407,8 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
 
     # ---- chunking over particles --------------------------------------
     if particles_per_chunk is None or particles_per_chunk >= P:
-        return render_chunk(xs, ys, zs, rad, *d6, noise_key)
+        img = render_chunk(xs, ys, zs, rad, *d6, noise_key)
+        return img if viol_count is None else (img, viol_count)
 
     n_chunks = math.ceil(P / particles_per_chunk)
     pc = particles_per_chunk
@@ -426,7 +433,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
         return img + render_chunk(*c), None
     init = jnp.zeros((params.ny, params.nx), jnp.float32)
     img, _ = jax.lax.scan(body, init, chunked)
-    return img
+    return img if viol_count is None else (img, viol_count)
 
 
 _STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
@@ -473,24 +480,34 @@ def _get_sharded_render(mesh, statics: dict, reduce: bool = True):
     axis = mesh.axis_names[0]
     part = Pspec(axis)
     repl = Pspec()
+    has_window = statics.get("window_shape") is not None
 
-    def run(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, noise_key):
+    def run(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot, noise_key,
+            *win_arrays):
         # decorrelate per-ray noise across shards
         nk = jax.random.fold_in(noise_key, jax.lax.axis_index(axis))
-        img = _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
-                             nk, **statics)
+        out = _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
+                             nk, window_arrays=(win_arrays if has_window
+                                                else None), **statics)
+        img, viol = out if has_window else (out, None)
         if not reduce:
-            return img[None]
-        return jax.lax.psum(img, axis)
+            return (img[None], viol[None]) if has_window else img[None]
+        img = jax.lax.psum(img, axis)
+        if has_window:
+            return img, jax.lax.psum(viol, axis)
+        return img
 
     # check_vma=False: the Pallas dense-slab sampler's ShapeDtypeStruct
     # outputs carry no varying-mesh-axes annotation, which the checker
     # (jax >= 0.7) would reject inside shard_map
+    in_specs = (repl, part, part, part, part, repl, repl, repl, repl,
+                repl) + ((part,) * 4 if has_window else ())
+    out_specs = repl if reduce else part
+    if has_window:
+        out_specs = (out_specs, out_specs)
     fn = jax.jit(shard_map(
-        run, mesh=mesh,
-        in_specs=(repl, part, part, part, part, repl, repl, repl, repl,
-                  repl),
-        out_specs=repl if reduce else part, check_vma=False))
+        run, mesh=mesh, in_specs=in_specs,
+        out_specs=out_specs, check_vma=False))
     _sharded_cache[key] = fn
     return fn
 
@@ -628,28 +645,49 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
     # fused march host side from the straight chief tracks (numpy twin
     # of _chief_geometry; ops.march_window).  Falls back to the tube
     # path when the plan declines (pathological spread or no profit).
-    def chief_host():
+    def chief_host(xa=None, ya=None, za=None):
         """Host (numpy, f64) twin of _chief_geometry's world-frame chief
         states — used by decisions that must be static at trace time
         (window planning, substep control)."""
+        xa = xs if xa is None else xa
+        ya = ys if ya is None else ya
+        za = zs if za is None else za
         shift = float(params.z_offset) + 750e3
-        dden = params.image_distance - zs.astype(np.float64)
-        ctx = xs / dden
-        cty = ys / dden
+        dden = params.image_distance - za.astype(np.float64)
+        ctx = xa / dden
+        cty = ya / dden
         cinv = 1.0 / np.sqrt(ctx * ctx + cty * cty + 1.0)
         dir_cam = np.stack([ctx * cinv, cty * cinv, -cinv])
-        pos_cam = np.stack([xs.astype(np.float64), ys.astype(np.float64),
-                            zs.astype(np.float64) - shift])
+        pos_cam = np.stack([xa.astype(np.float64), ya.astype(np.float64),
+                            za.astype(np.float64) - shift])
         inv_rot64 = np.asarray(setup.inverse_rotation_matrix, np.float64)
         dw = inv_rot64 @ dir_cam
         pw = inv_rot64 @ pos_cam
         return pw, dw
 
+    def _drift_probe_ok(pw, dw):
+        """Plan-time half of the drift-contract enforcement (routes a
+        violating medium to the tube path before any wrong sample)."""
+        import os
+        import sys
+        if os.environ.get("PHOTON_WINDOW_CHECK", "1") == "0":
+            return True
+        from photon_tpu.ops.march_window import plan_drift_ok
+        ok = plan_drift_ok(vol, pw[0], pw[1], pw[2], dw[0], dw[1], dw[2],
+                           algorithm=algorithm,
+                           interpolation_scheme=int(interpolation_scheme),
+                           substeps=march_substeps)
+        if not ok:
+            print("photon_tpu: windowed-march drift contract violated "
+                  "(medium bends chief rays beyond the plan margin) — "
+                  "falling back to the exact tube march", file=sys.stderr)
+        return ok
+
     window_arrays = None
     window_shape = None
-    if vol is not None and chief_march and not dense_march \
-            and auto_march and mesh is None:
-        from photon_tpu.ops.march_window import plan_windows
+    window_key = None
+    mesh_padded = None
+    if vol is not None and chief_march and not dense_march and auto_march:
         # the plan is a host-side computation over all chief tracks
         # (argsort + device bounds sweep, ~1-3 s at bench scale) and is
         # pure in (volume geometry, camera geometry, source positions)
@@ -659,20 +697,53 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
         # the chief geometry scalars/matrices, and the volume's shape
         # and bounds (id() alone can be reused after GC and misses
         # vol._replace of the bounds).
-        key = _scene_fingerprint(vol, setup, params, xs, ys, zs)
-        plan = _window_plan_cache.get(key)
-        if plan is None and key not in _window_plan_cache:
-            pw, dw = chief_host()
-            plan = plan_windows(vol, pw[0], pw[1], pw[2],
-                                dw[0], dw[1], dw[2])
-            if len(_window_plan_cache) > 8:
-                _window_plan_cache.clear()
-            _window_plan_cache[key] = plan
-        if plan is not None:
-            window_arrays = (jnp.asarray(plan.perm),
-                             jnp.asarray(plan.valid),
-                             jnp.asarray(plan.ox), jnp.asarray(plan.oy))
-            window_shape = (int(plan.win_w), int(plan.win_h))
+        if mesh is None:
+            from photon_tpu.ops.march_window import plan_windows
+            key = _scene_fingerprint(vol, setup, params, xs, ys, zs)
+            window_key = key
+            plan = _window_plan_cache.get(key)
+            if plan is None and key not in _window_plan_cache:
+                pw, dw = chief_host()
+                plan = plan_windows(vol, pw[0], pw[1], pw[2],
+                                    dw[0], dw[1], dw[2])
+                if plan is not None and not _drift_probe_ok(pw, dw):
+                    plan = None
+                if len(_window_plan_cache) > 8:
+                    _window_plan_cache.clear()
+                _window_plan_cache[key] = plan
+            if plan is not None:
+                window_arrays = (jnp.asarray(plan.perm),
+                                 jnp.asarray(plan.valid),
+                                 jnp.asarray(plan.ox), jnp.asarray(plan.oy))
+                window_shape = (int(plan.win_w), int(plan.win_h))
+        else:
+            # multi-chip: per-shard plans over the SAME contiguous
+            # particle split the mesh dispatch uses, harmonized to one
+            # static kernel config (ops.march_window.plan_windows_sharded)
+            from photon_tpu.ops.march_window import plan_windows_sharded
+            from photon_tpu.parallel.shard import pad_to_multiple
+            n_dev = mesh.devices.size
+            mesh_padded, _ = pad_to_multiple((xs, ys, zs, rad), n_dev,
+                                             fills=(0.0, 0.0, 1.0, 0.0))
+            xs_p, ys_p, zs_p, _rad_p = mesh_padded
+            key = ("mesh", n_dev,
+                   _scene_fingerprint(vol, setup, params, xs_p, ys_p, zs_p))
+            window_key = key
+            cached = _window_plan_cache.get(key)
+            if cached is None and key not in _window_plan_cache:
+                pw, dw = chief_host(xs_p, ys_p, zs_p)
+                cached = plan_windows_sharded(
+                    vol, pw[0], pw[1], pw[2], dw[0], dw[1], dw[2], n_dev)
+                if cached is not None and not _drift_probe_ok(pw, dw):
+                    cached = None
+                if len(_window_plan_cache) > 8:
+                    _window_plan_cache.clear()
+                _window_plan_cache[key] = cached
+            if cached is not None:
+                perm, valid, oxs, oys, wshape = cached
+                window_arrays = (jnp.asarray(perm), jnp.asarray(valid),
+                                 jnp.asarray(oxs), jnp.asarray(oys))
+                window_shape = (int(wshape[0]), int(wshape[1]))
 
     # algorithm 3 (the reference's adaptive RK45): pick the fixed
     # substep count from the data instead of hardcoding 2 — a
@@ -716,14 +787,59 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
 
         n_dev = mesh.devices.size
         axis = mesh.axis_names[0]
-        padded, _ = pad_to_multiple((xs, ys, zs, rad), n_dev,
-                                    fills=(0.0, 0.0, 1.0, 0.0))
+        if mesh_padded is None:
+            mesh_padded, _ = pad_to_multiple((xs, ys, zs, rad), n_dev,
+                                             fills=(0.0, 0.0, 1.0, 0.0))
         ray_shard = NamedSharding(mesh, Pspec(axis))
-        sharded = [jax.device_put(a, ray_shard) for a in padded]
+        sharded = [jax.device_put(a, ray_shard) for a in mesh_padded]
+        win_sharded = ()
+        if window_arrays is not None:
+            # plan arrays shard with the particles (leading shard axis;
+            # see march_window.plan_windows_sharded)
+            win_sharded = tuple(jax.device_put(a, ray_shard)
+                                for a in window_arrays)
         fn = _get_sharded_render(mesh, statics, reduce=_mesh_reduce)
-        return fn(vol, *sharded, r1, r2, rot, inv_rot,
-                  noise_key if noise_key is not None else jax.random.key(0))
+        out = fn(vol, *sharded, r1, r2, rot, inv_rot,
+                 noise_key if noise_key is not None else jax.random.key(0),
+                 *win_sharded)
+        if window_arrays is not None:
+            img, viol_count = out
+            _check_window_violations(viol_count, window_key)
+            return img
+        return out
 
-    return _render_fast_jit(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
-                            noise_key, window_arrays=window_arrays,
-                            **statics)
+    out = _render_fast_jit(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
+                           noise_key, window_arrays=window_arrays,
+                           **statics)
+    if window_arrays is not None:
+        img, viol_count = out
+        _check_window_violations(viol_count, window_key)
+        return img
+    return out
+
+
+def _check_window_violations(viol_count, key):
+    """The loud half of the windowed drift contract: refuse to ship an
+    image whose march clamped samples at non-border window edges.
+
+    Policy via PHOTON_WINDOW_CHECK: "1" (default) fetches the flag
+    count once per cached plan (one scalar sync on the first render of
+    a scene — steady-state renders pay nothing), "always" checks every
+    render (e.g. inversion loops where the field changes between
+    calls), "0" disables."""
+    import os
+    policy = os.environ.get("PHOTON_WINDOW_CHECK", "1")
+    if policy == "0":
+        return
+    ckey = ("violchecked", key)
+    if policy != "always" and _window_plan_cache.get(ckey):
+        return
+    _window_plan_cache[ckey] = True
+    n = float(viol_count)
+    if n > 0:
+        raise RuntimeError(
+            f"windowed-march drift contract violated at render time: "
+            f"{int(n)} chief rays drifted beyond their plan windows "
+            "(samples clamped at non-border window edges — wrong values)."
+            " The medium is too refractive for the windowed plan; render "
+            "with dense_march=False to route through the exact tube march.")

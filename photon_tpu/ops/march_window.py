@@ -206,7 +206,8 @@ def _padded_dims(w: int, h: int):
 
 def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
                  block: Optional[int] = None,
-                 require_profit: bool = True) -> Optional[WindowPlan]:
+                 require_profit: bool = True,
+                 force_win=None) -> Optional[WindowPlan]:
     """Build the sort + window plan from straight chief tracks (numpy).
 
     Returns None when windows would not beat the dense march (volume
@@ -214,6 +215,12 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     spread blocks) — callers then fall back to the tube path.
     All inputs are HOST arrays: the plan must be computed before jit
     (window origins become static-shaped operands of the kernel).
+
+    ``block`` / ``force_win``: override the auto-chosen ray-block size
+    and window dims — the multi-chip path harmonizes per-shard plans to
+    one static kernel configuration with these (models.render_fast).
+    A forced window smaller than a shard's track extents fails the
+    coverage check and returns None like any other uncoverable plan.
     """
     w, h, d = (int(s) for s in vol.sizes)
     S = d - 1
@@ -300,8 +307,11 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     # 32-voxel steps (x4 channels = 128 lanes); y rides the 8-sublane
     # row axis -> oy and Hw in 8-voxel steps.  Origins snap DOWN, so
     # the window carries the snap slack on top of extent + margins.
-    win_w = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
-    win_h = min(h_pad, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
+    if force_win is not None:
+        win_w, win_h = int(force_win[0]), int(force_win[1])
+    else:
+        win_w = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
+        win_h = min(h_pad, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
     # window-proportional VMEM terms of the kernel (per-byte):
     #   * double-buffered DMA scratch: 2 slots x 2 halves x (Hw, Ww*4) f32
     #   * bf16-split compute copies of the (2Hw, Ww*4) view: a_hi + a_lo
@@ -344,6 +354,96 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
         return None
     return WindowPlan(perm=perm, valid=valid, ox=ox, oy=oy,
                       win_w=win_w, win_h=win_h)
+
+
+def plan_windows_sharded(vol, xs, ys, zs, dcx, dcy, dcz, n_shards: int):
+    """Per-shard window plans harmonized to ONE static kernel config.
+
+    The multi-chip renderer shards particles in ``n_shards`` contiguous
+    chunks (models.render_fast's NamedSharding split); each shard plans
+    its own serpentine sort + windows over ITS chiefs, then all plans
+    are forced to a common (block, win_w, win_h, G) so the shard_map
+    body compiles once: window dims take the max over shards (re-planned
+    with ``force_win``), short shards pad with invalid blocks.
+
+    Returns ``(perm, valid, ox, oy, (win_w, win_h))`` with the arrays
+    stacked on the shard axis — ``perm``/``valid`` as (n_shards * G*B,)
+    with SHARD-LOCAL ray indices, ``ox``/``oy`` as (n_shards * G, S) —
+    ready to shard over the mesh's particle axis; or None when any
+    shard's plan declines (callers fall back to the tube path on every
+    shard, keeping the compiled program uniform).
+    """
+    P = np.asarray(xs).shape[0]
+    if P % n_shards != 0:
+        raise ValueError(f"particle count {P} not divisible by "
+                         f"{n_shards} shards — pad first")
+    per = P // n_shards
+    subs = [tuple(np.asarray(a)[i * per:(i + 1) * per]
+                  for a in (xs, ys, zs, dcx, dcy, dcz))
+            for i in range(n_shards)]
+    first = plan_windows(vol, *subs[0])
+    if first is None:
+        return None
+    B = first.perm.shape[0] // first.ox.shape[0]
+    plans = [first] + [plan_windows(vol, *s, block=B) for s in subs[1:]]
+    if any(p is None for p in plans):
+        return None
+    win_w = max(p.win_w for p in plans)
+    win_h = max(p.win_h for p in plans)
+    if any((p.win_w, p.win_h) != (win_w, win_h) for p in plans):
+        plans = [plan_windows(vol, *s, block=B, force_win=(win_w, win_h))
+                 for s in subs]
+        if any(p is None for p in plans):
+            return None
+    G = max(p.ox.shape[0] for p in plans)
+    S = plans[0].ox.shape[1]
+
+    def pad_plan(p):
+        g0 = p.ox.shape[0]
+        if g0 == G:
+            return p
+        gpad = G - g0
+        return WindowPlan(
+            perm=np.concatenate([p.perm, np.zeros(gpad * B, np.int32)]),
+            valid=np.concatenate([p.valid, np.zeros(gpad * B, bool)]),
+            ox=np.concatenate([p.ox, np.zeros((gpad, S), np.int32)]),
+            oy=np.concatenate([p.oy, np.zeros((gpad, S), np.int32)]),
+            win_w=win_w, win_h=win_h)
+
+    plans = [pad_plan(p) for p in plans]
+    return (np.concatenate([p.perm for p in plans]),
+            np.concatenate([p.valid for p in plans]),
+            np.concatenate([p.ox for p in plans]),
+            np.concatenate([p.oy for p in plans]),
+            (win_w, win_h))
+
+
+def plan_drift_ok(vol, xs, ys, zs, dcx, dcy, dcz, *,
+                  algorithm: int = 2, interpolation_scheme: int = 1,
+                  substeps=None, sample: int = 1024) -> bool:
+    """Plan-time drift-contract probe: march a chief subsample through a
+    subsample-local windowed plan and check the kernel's violation
+    flags.  The subsample's windows are at least as tight as the full
+    plan's, so a clean probe implies the full plan samples exactly; a
+    flagged probe routes the scene to the exact/tube marcher before any
+    wrong sample ships (the graceful half of the contract enforcement —
+    the per-render flags remain as the loud half)."""
+    P = np.asarray(xs).shape[0]
+    if P > sample:
+        idx = np.linspace(0, P - 1, sample).astype(np.int64)
+    else:
+        idx = np.arange(P)
+    sub = [np.asarray(a, np.float32)[idx]
+           for a in (xs, ys, zs, dcx, dcy, dcz)]
+    plan = plan_windows(vol, *sub, require_profit=False)
+    if plan is None:
+        # degenerate subsample (e.g. nothing marches): nothing to check
+        return True
+    out = march_chief_windowed(vol, plan, *map(jnp.asarray, sub),
+                               algorithm=algorithm,
+                               interpolation_scheme=interpolation_scheme,
+                               substeps=substeps, return_violations=True)
+    return float(np.asarray(out[6]).sum()) == 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -1303,12 +1403,17 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
 
 def chief_deltas_windowed(vol, plan, xs, ys, zs, dcx, dcy, dcz, *,
                           algorithm: int = 2, interpolation_scheme: int = 1,
-                          substeps=None, passes: int = 2):
+                          substeps=None, passes: int = 2,
+                          return_violations: bool = False):
     """Windowed twin of march_dense.chief_deltas_dense."""
-    x1, y1, z1, dx1, dy1, dz1 = march_chief_windowed(
+    out = march_chief_windowed(
         vol, plan, xs, ys, zs, dcx, dcy, dcz, algorithm=algorithm,
         interpolation_scheme=interpolation_scheme, substeps=substeps,
-        passes=passes)
+        passes=passes, return_violations=return_violations)
+    x1, y1, z1, dx1, dy1, dz1 = out[:6]
     t = (z1 - zs) / dcz
-    return (z1, x1 - (xs + dcx * t), y1 - (ys + dcy * t),
-            dx1 - dcx, dy1 - dcy, dz1 - dcz)
+    deltas = (z1, x1 - (xs + dcx * t), y1 - (ys + dcy * t),
+              dx1 - dcx, dy1 - dcy, dz1 - dcz)
+    if return_violations:
+        return deltas + (out[6],)
+    return deltas

@@ -77,3 +77,55 @@ def test_scaling_report_smoke():
     # the collective isolation is a fraction of wall time in [0, 1)
     assert 0.0 <= rep["collective"][2]["psum_fraction"] < 1.0
     assert "caveat" in rep
+
+
+@needs_mesh
+def test_sharded_windowed_march_matches_single_device():
+    """Round-5 verdict item: a volume beyond the dense-march cap renders
+    through the WINDOWED march under a mesh (per-shard plans,
+    plan_windows_sharded) and matches the single-device windowed image."""
+    from photon_tpu.config import default_config
+    from photon_tpu.ops.march_dense import dense_march_supported
+    from photon_tpu.volume import build_density_volume
+    import photon_tpu.models.render_fast as rf
+
+    cfg = default_config("bos")
+    cfg.camera_design.x_pixel_number = 128
+    cfg.camera_design.y_pixel_number = 128
+    cfg.bos_pattern.grid_point_number = 200
+    cfg.bos_pattern.particle_number_per_grid_point = 4
+    cfg.bos_pattern.lightray_number_per_particle = 8
+    m = cfg.lens_design.focal_length / (
+        cfg.lens_design.object_distance - cfg.lens_design.focal_length)
+    half = 0.7 * 128 * cfg.camera_design.pixel_pitch / 2.0 / m
+    cfg.bos_pattern.X_Min, cfg.bos_pattern.X_Max = -half, half
+    cfg.bos_pattern.Y_Min, cfg.bos_pattern.Y_Max = -half, half
+    setup = camera_setup(cfg)
+    src, *_ = bos_source(cfg, setup, np.random.default_rng(3))
+    r1, r2 = lens_samples(jax.random.key(7), 8)
+
+    n, d = 288, 6
+    x = np.linspace(-2e5, 2e5, n)
+    z = np.linspace(setup.object_distance - 0.6 * setup.object_distance,
+                    setup.object_distance - 0.1 * setup.object_distance, d)
+    gx = np.linspace(0, 1, n)
+    rho = 1.225 + 2.0 * gx[:, None, None] * np.ones((1, n, d))
+    vol = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], z[1] - z[0]], [x[0], x[0], z[0]])
+    assert not dense_march_supported(vol)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("particles",))
+    img1 = np.asarray(render_image_fast(cfg, setup, src, r1, r2, vol=vol))
+    img8 = np.asarray(render_image_fast(cfg, setup, src, r1, r2, vol=vol,
+                                        mesh=mesh))
+    # both routes must have engaged the windowed march (plan != None)
+    single = [v for k, v in rf._window_plan_cache.items()
+              if not (isinstance(k, tuple) and k and k[0] in
+                      ("mesh", "violchecked", "substeps"))]
+    sharded = [v for k, v in rf._window_plan_cache.items()
+               if isinstance(k, tuple) and k and k[0] == "mesh"]
+    assert any(p is not None for p in single)
+    assert any(p is not None for p in sharded)
+    assert img1.sum() > 0
+    l1 = np.abs(img1 - img8).sum() / img1.sum()
+    assert l1 < 1e-4, l1
