@@ -239,10 +239,11 @@ def main() -> int:
         # backend/toolchain, disable the kernels and re-trace on the
         # proven XLA/per-stage paths rather than losing the bench
         print(f"# fused kernels failed ({type(e).__name__}: {e}); "
-              "retrying with PHOTON_FUSED_MARCH=0 PHOTON_FUSED_SPLAT=0",
-              file=sys.stderr)
+              "retrying with PHOTON_FUSED_MARCH=0 PHOTON_FUSED_SPLAT=0 "
+              "PHOTON_FUSED_FAN=0", file=sys.stderr)
         os.environ["PHOTON_FUSED_MARCH"] = "0"
         os.environ["PHOTON_FUSED_SPLAT"] = "0"
+        os.environ["PHOTON_FUSED_FAN"] = "0"
         jax.clear_caches()
         img = run()
     compile_s = time.time() - t0

@@ -189,7 +189,7 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
                    chief_march: bool, per_ray_splat: bool,
                    interpolation_scheme: int = 1,
                    dense_march: bool = True, march_substeps=None,
-                   window_shape=None):
+                   window_shape=None, fan_kernel: bool = False):
     """arrays -> raw image; all keyword args are trace-time static."""
     P = xs.shape[0]
     R = r1.shape[0]
@@ -270,9 +270,61 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
 
     st = lens_params
 
+    # ---- fused fan-statistics kernel config (ops.fan_pallas) ----------
+    # static per compile; replaces the (P, R) XLA chain below when the
+    # config qualifies (diffraction + per-particle splat, unrotated)
+    fan_sc = None
+    if fan_kernel:
+        from photon_tpu.ops.fan_pallas import FanScalars
+        cone = params.ray_cone_pitch_ratio * params.lens_pitch
+        xl_fan = cone * r1 * jnp.cos(2.0 * jnp.pi * r2)
+        yl_fan = cone * r1 * jnp.sin(2.0 * jnp.pi * r2)
+        if R == 1:
+            xl_fan = jnp.zeros_like(xl_fan)
+            yl_fan = jnp.zeros_like(yl_fan)
+        z_object = params.object_distance + params.z_offset
+        f = params.thin_lens_focal_length
+        amp_scale = (8.0 / math.pi) / params.aperture_f_number ** 2
+        if params.lens_model == "general":
+            amp_scale = amp_scale * st[6]          # transmission
+        fan_sc = FanScalars(
+            image_distance=float(params.image_distance),
+            shift=float(params.z_offset) + 750e3,
+            z_object=float(z_object),
+            magnification=float(f / (z_object - params.z_offset - f)),
+            z_lens=float(st[0]), pitch=float(st[1]),
+            focal_length=float(f), vertex=float(st[2]),
+            r_front=float(st[3]), r_back=float(st[4]),
+            n_lens=float(st[5]),
+            nx=int(params.nx), ny=int(params.ny),
+            pixel_pitch=float(params.pixel_pitch),
+            z_sensor=float(params.z_sensor))
+
     # ---- per-chunk renderer (all (Pc, R) SoA) -------------------------
     def render_chunk(xs, ys, zs, rad, dz_exit, dpx, dpy, ddx, ddy, ddz,
                      nkey=None):
+        if fan_sc is not None:
+            from photon_tpu.ops.fan_pallas import fan_stats
+            d6c = ((dz_exit, dpx, dpy, ddx, ddy, ddz) if has_march
+                   else None)
+            A, AX, AY = fan_stats(
+                xs, ys, zs, rad * jnp.float32(amp_scale), d6c,
+                xl_fan, yl_fan, sc=fan_sc, lens_model=params.lens_model,
+                mirror_x=params.implement_diffraction)
+            denom_a = jnp.maximum(A, 1e-30)
+            Xbar = AX / denom_a
+            Ybar = AY / denom_a
+            ok_p = A > 0
+            pred_col = jnp.round(jnp.where(ok_p, Xbar, -1e6)
+                                 ).astype(jnp.int32)
+            pred_row = jnp.round(jnp.where(ok_p, Ybar, -1e6)
+                                 ).astype(jnp.int32)
+            return particle_splat(
+                Xbar, Ybar, A, pred_col, pred_row,
+                nx=params.nx, ny=params.ny,
+                diameter=params.diffraction_diameter, patch=patch,
+                render_fraction=(1.0 if params.lens_model == "apparent"
+                                 else 0.75))
         # ray generation (ref: :104-130)
         cone = params.ray_cone_pitch_ratio * params.lens_pitch
         x_lens = cone * r1 * jnp.cos(2.0 * jnp.pi * r2)    # (R,)
@@ -405,6 +457,22 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
     if params.add_pos_noise and noise_key is None:
         noise_key = jax.random.key(0)
 
+    # remat the (P, R) generation->lens->splat chain: its backward
+    # otherwise streams dozens of saved (P, R) f32 intermediates from
+    # HBM (~200 MB each at bench scale — the measured ~120 ms "lens
+    # chain transpose" cost), while recomputing the forward is a cheap
+    # fused elementwise pass.  The march deltas stay OUTSIDE the
+    # checkpoint (custom_vjp kernels with their own residual policy).
+    # Trace-time env knob (A/B'd on TPU; see PARITY.md).
+    # (measured no-op at bench scale — XLA already avoids most of the
+    # residual streaming — but harmless and occasionally useful on the
+    # non-kernel paths; pointless under the fused fan kernel, which has
+    # no (P, R) residuals at all)
+    import os
+    if fan_sc is None and os.environ.get("PHOTON_REMAT_LENS", "0") == "1":
+        render_chunk = jax.checkpoint(
+            render_chunk, policy=jax.checkpoint_policies.nothing_saveable)
+
     # ---- chunking over particles --------------------------------------
     if particles_per_chunk is None or particles_per_chunk >= P:
         img = render_chunk(xs, ys, zs, rad, *d6, noise_key)
@@ -440,7 +508,7 @@ _STATIC_NAMES = ("params", "lens_params", "rotated", "algorithm", "patch",
                  "particles_per_chunk", "march_particles_per_chunk",
                  "chief_march", "per_ray_splat",
                  "interpolation_scheme", "dense_march", "march_substeps",
-                 "window_shape")
+                 "window_shape", "fan_kernel")
 
 _render_fast_jit = jax.jit(_device_render, static_argnames=_STATIC_NAMES)
 
@@ -764,6 +832,19 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                 interpolation_scheme=int(interpolation_scheme))
             _window_plan_cache[skey] = march_substeps
 
+    # fused (P, R) fan-statistics kernel (ops.fan_pallas): covers the
+    # flagship configs — diffraction sensor, one erf spot per particle,
+    # unrotated camera, the three axis-aligned lens models.  Everything
+    # else keeps the XLA SoA chain.  PHOTON_FUSED_FAN=0 disables
+    # (trace-time; the bench's kernel-failure insurance uses it).
+    import os as _os
+    fan_kernel = bool(
+        params.implement_diffraction and not per_ray_splat
+        and not params.add_pos_noise and not rotated
+        and (chief_march or vol is None)
+        and params.lens_model in ("apparent", "thin-lens", "general")
+        and _os.environ.get("PHOTON_FUSED_FAN", "1") == "1")
+
     statics = dict(params=params, lens_params=lens_params, rotated=rotated,
                    algorithm=algorithm, patch=patch,
                    particles_per_chunk=particles_per_chunk,
@@ -771,7 +852,7 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                    chief_march=chief_march, per_ray_splat=per_ray_splat,
                    interpolation_scheme=int(interpolation_scheme),
                    dense_march=dense_march, march_substeps=march_substeps,
-                   window_shape=window_shape)
+                   window_shape=window_shape, fan_kernel=fan_kernel)
 
     if vol is not None:
         # array-ify the float leaves so the volume shards/jits uniformly

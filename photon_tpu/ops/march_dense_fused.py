@@ -60,8 +60,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photon_tpu.ops.march_dense_pallas import (_dot3, _weights_T,
-                                               _weights_T_du)
+import os
+
+from photon_tpu.ops.march_dense_pallas import (_dot3, _dot_split,
+                                               _weights_T, _weights_T_du)
+
+
+def _fwd_passes() -> int:
+    """bf16-split pass count of the forward contraction (trace-time).
+
+    Default 2 = the field-corrected split (a_hi @ b_hi + a_lo @ b_hi)
+    the windowed march A/B'd: the split error lives in the FIELD
+    operand's low bits, so dropping the weight-correction pass keeps
+    the end-of-march deflection error ~1e-4 relative (vs ~1e-5 at 3,
+    ~2e-3 at 1) while cutting the dominant MXU cost by a third —
+    measured 85 -> 64 ms on the bench march.  PHOTON_MARCH_PASSES=3
+    restores the round-3/4 near-f32 kernel (tests pin it for
+    bit-parity assertions)."""
+    return int(os.environ.get("PHOTON_MARCH_PASSES", 2))
 
 # rays per block (lane-major rows).  Smaller blocks at larger slabs keep
 # the backward kernel's per-stage VJP transients (A_r, d_A, weight
@@ -137,25 +153,27 @@ def _weights_zT(u_row, uz, n: int, scheme: int, kind: str = "w"):
 
 def _fused_kernel(params_ref, state_ref, pair_ref, out_ref, scratch,
                   *, W: int, H: int, S: int, B: int, scheme: int,
-                  algorithm: int, substeps: int):
+                  algorithm: int, substeps: int, passes: int):
     return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
                               None, scratch, W=W, H=H, S=S, B=B,
                               scheme=scheme, algorithm=algorithm,
-                              substeps=substeps)
+                              substeps=substeps, passes=passes)
 
 
 def _fused_kernel_traj(params_ref, state_ref, pair_ref, out_ref, traj_ref,
                        scratch, *, W: int, H: int, S: int, B: int,
-                       scheme: int, algorithm: int, substeps: int):
+                       scheme: int, algorithm: int, substeps: int,
+                       passes: int):
     return _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref,
                               traj_ref, scratch, W=W, H=H, S=S, B=B,
                               scheme=scheme, algorithm=algorithm,
-                              substeps=substeps)
+                              substeps=substeps, passes=passes)
 
 
 def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
                        scratch, *, W: int, H: int, S: int, B: int,
-                       scheme: int, algorithm: int, substeps: int):
+                       scheme: int, algorithm: int, substeps: int,
+                       passes: int):
     """One (ray block g, slab s) grid step of the fused march.
 
     params_ref (SMEM, (8,)): min_x, min_y, sx, sy, z_min, dz_slab.
@@ -209,7 +227,7 @@ def _fused_kernel_impl(params_ref, state_ref, pair_ref, out_ref, traj_ref,
         wx = _weights_T(ux, W, scheme)                        # (W, B)
         wy_cat = _weights_zT(uy, uz, H, scheme)               # (2H, B)
         dn = (((1,), (0,)), ((), ()))
-        A = _dot3(pair_ref[0], wy_cat, dn)                    # (W*4, B)
+        A = _dot_split(pair_ref[0], wy_cat, dn, passes)       # (W*4, B)
         s4 = jnp.sum(A.reshape(W, 4, B) * wx[:, None, :], axis=0)
         gx, gy, gz, nm1 = s4[0:1], s4[1:2], s4[2:3], s4[3:4]
         inv_tz = 1.0 / tz
@@ -289,7 +307,7 @@ def _fused_call(static, params, state, pairs, save_traj: bool = False):
     kern = functools.partial(
         _fused_kernel_traj if save_traj else _fused_kernel,
         W=W, H=H, S=S, B=B, scheme=scheme,
-        algorithm=algorithm, substeps=substeps)
+        algorithm=algorithm, substeps=substeps, passes=_fwd_passes())
     out_specs = pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((G, 8, B), jnp.float32)

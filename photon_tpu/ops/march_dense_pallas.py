@@ -67,6 +67,32 @@ def _dot3(a, b, dn):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def _dot_split(a, b, dn, passes: int):
+    """bf16-split contraction with a selectable pass count.
+
+    passes=3 is :func:`_dot3` (~f32: both operands' low bits
+    corrected); passes=2 keeps the FIELD-low-bits correction
+    (a_lo @ b_hi) and drops the weight-low-bits term (measured
+    immaterial: 1-pass and weight-corrected 2-pass land on the same
+    ~2e-3 deflection error, i.e. the split error is all in the field
+    operand); passes=1 is plain bf16.  The fused and windowed marches
+    default to 2 (see march_dense_fused._fwd_passes / PARITY.md).
+    """
+    if passes >= 3:
+        return _dot3(a, b, dn)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dn,
+                                   preferred_element_type=jnp.float32)
+
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 1:
+        return d(a_hi, b)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    return d(a_hi, b_hi) + d(a_lo, b_hi)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 

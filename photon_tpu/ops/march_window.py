@@ -71,36 +71,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photon_tpu.ops.march_dense_pallas import _b3, _dot3
-
-
-def _dot_split(a, b, dn, passes: int):
-    """bf16-split contraction with a selectable pass count.
-
-    passes=3 is march_dense_pallas._dot3 (~f32: both operands' low
-    bits corrected, end-of-march deflection error ~1e-5 relative);
-    passes=2 keeps the FIELD-low-bits correction (a_lo @ b_hi) and
-    drops the weight-low-bits term (measured immaterial: 1-pass and
-    weight-corrected 2-pass land on the same 2e-3 deflection error,
-    i.e. the error is all in the field operand), passes=1 is plain
-    bf16.  The windowed large-volume march defaults to 2: its measured
-    deflection error sits well inside the reference's own 1%
-    displacement acceptance budget while cutting the dominant MXU cost
-    by a third (see tests + PARITY).
-    """
-    if passes >= 3:
-        return _dot3(a, b, dn)
-
-    def d(x, y):
-        return jax.lax.dot_general(x, y, dn,
-                                   preferred_element_type=jnp.float32)
-
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    if passes == 1:
-        return d(a_hi, b)
-    a_lo = a - a_hi
-    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-    return d(a_hi, b_hi) + d(a_lo, b_hi)
+from photon_tpu.ops.march_dense_pallas import _b3, _dot_split
 
 _SUPPORT = 3              # cubic tap reach (+1 drift/rounding margin)
 _MARGIN = 6               # window slack: support + deflection + rounding
