@@ -156,14 +156,17 @@ def bench_piv_mie(reps: int) -> float:
 
 
 def build_vol512(setup, n: int = 512):
-    """A 512^3 device-built volume with the flagship scene's analytic
-    density profile (linear rho in x).
+    """A 512^3 device-built volume with a STRUCTURED (separable
+    Gaussian) density profile.
 
-    The field (2.1 GB at 512^3) is constructed ON DEVICE by
-    broadcasting the analytic (W, 4) channel row — the gradients of a
-    linear profile are constant and exactly match volume.gradient_field
-    (central + one-sided stencils are exact on linear data) — so no
-    multi-GB host->device transfer rides the RPC tunnel.
+    The field (2.1 GB at 512^3) is constructed ON DEVICE from three
+    1-D factors (no multi-GB host->device transfer rides the RPC
+    tunnel); the gradient channels are the analytic separable
+    derivatives.  Round 4 benched a linear-in-x rho whose constant
+    gradient could hide a window-plan/DMA bug that only spatially
+    varying data triggers (round-4 verdict, Weak #6) — the Gaussian
+    makes every window read genuinely position-dependent values while
+    keeping deflections far inside the drift-contract margin.
     """
     import jax.numpy as jnp
 
@@ -173,13 +176,22 @@ def build_vol512(setup, n: int = 512):
     z = np.linspace(setup.object_distance - 5e5,
                     setup.object_distance - 1e2, n)
     K = 0.225e-3
-    rho_row = 1.225 + 5.0 * (x - x.min()) / (x.max() - x.min())
-    gx = K * 5.0 / (x.max() - x.min())
-    row = jnp.stack([jnp.full((n,), gx, jnp.float32),
-                     jnp.zeros((n,), jnp.float32),
-                     jnp.zeros((n,), jnp.float32),
-                     jnp.asarray(K * rho_row, jnp.float32)], axis=-1)
-    field = jnp.broadcast_to(row[None, None], (n, n, n, 4))
+    amp = 2.0
+    sig_l = 0.35 * (x.max() - x.min())
+    sig_z = 0.35 * (z.max() - z.min())
+    zc = 0.5 * (z.min() + z.max())
+    gx = jnp.asarray(np.exp(-(x / sig_l) ** 2 / 2.0), jnp.float32)
+    gz = jnp.asarray(np.exp(-((z - zc) / sig_z) ** 2 / 2.0), jnp.float32)
+    dgx = jnp.asarray(-(x / sig_l ** 2), jnp.float32)   # d/dx factor
+    dgz = jnp.asarray(-((z - zc) / sig_z ** 2), jnp.float32)
+    # field[z, y, x, c]; c = [K drho/dx, K drho/dy, K drho/dz, K rho]
+    g3 = gz[:, None, None] * gx[None, :, None] * gx[None, None, :]
+    rho = 1.225 + amp * g3
+    field = jnp.stack([
+        jnp.float32(K * amp) * g3 * dgx[None, None, :],
+        jnp.float32(K * amp) * g3 * dgx[None, :, None],
+        jnp.float32(K * amp) * g3 * dgz[:, None, None],
+        jnp.float32(K) * rho], axis=-1)
     spac = np.array([x[1] - x[0], x[1] - x[0], z[1] - z[0]])
     origin = np.array([x[0], x[0], z[0] - Z_ORIGIN_SHIFT])
     return DensityVolume(
@@ -193,8 +205,12 @@ def build_vol512(setup, n: int = 512):
 
 def bench_vol512(cfg, setup, source, r1, r2, reps: int):
     """Large-volume flagship: the same BOS scene marched through a
-    512^3 volume — the windowed fused march (ops.march_window), where
-    round 3 fell off a 34x cliff to the XLA tube path (9.3M rays/s)."""
+    structured 512^3 volume — the windowed fused march
+    (ops.march_window), where round 3 fell off a 34x cliff to the XLA
+    tube path (9.3M rays/s).  Also times the 512^3 forward+backward
+    (gradient w.r.t. the full 2 GB field through the windowed
+    custom_vjp kernel — the differentiable-BOS-inversion north star at
+    scale)."""
     from photon_tpu.models.render_fast import render_image_fast
 
     vol = build_vol512(setup)
@@ -211,7 +227,38 @@ def bench_vol512(cfg, setup, source, r1, r2, reps: int):
     st = time_reps(run, reps)
     print(f"# vol512 times: {[f'{t:.3f}' for t in st['times_s']]}",
           file=sys.stderr)
-    return source.num_rays / st["median_s"], st
+
+    st_bwd = None
+    rate_bwd = None
+    try:
+        field0 = vol.field
+
+        def loss(field):
+            v = vol._replace(field=field)
+            img = render_image_fast(cfg, setup, source, r1, r2, vol=v)
+            return jnp.mean(img * img)
+
+        vg = jax.jit(jax.value_and_grad(loss))
+
+        def run_bwd():
+            _, g = vg(field0)
+            g.block_until_ready()
+
+        t0 = time.time()
+        _, g = vg(field0)
+        g.block_until_ready()
+        gsum = float(jnp.abs(g).sum())
+        del g     # a live 2.1 GB gradient would OOM the timed reps
+        print(f"# vol512 fwd+bwd compile+1st: {time.time() - t0:.1f}s "
+              f"grad |sum| {gsum:.3g}", file=sys.stderr)
+        st_bwd = time_reps(run_bwd, max(reps - 1, 3))
+        rate_bwd = source.num_rays / st_bwd["median_s"]
+        print(f"# vol512 fwd+bwd times: "
+              f"{[f'{t:.3f}' for t in st_bwd['times_s']]}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — keep the bench alive
+        print(f"# vol512 fwd+bwd failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    return source.num_rays / st["median_s"], st, rate_bwd, st_bwd
 
 
 def main() -> int:
@@ -318,10 +365,12 @@ def main() -> int:
     # large-volume flagship: 512^3 windowed fused march
     if os.environ.get("PHOTON_BENCH_512", "1") == "1":
         try:
-            rate512, st512 = bench_vol512(cfg, setup, source, r1, r2,
-                                          max(reps // 2, 3))
+            rate512, st512, rate512b, st512b = bench_vol512(
+                cfg, setup, source, r1, r2, max(reps // 2, 3))
             record["vol512_windowed_rays_per_s"] = rate512
             record["vol512_stats"] = st512
+            record["vol512_fwd_bwd_rays_per_s"] = rate512b
+            record["vol512_fwd_bwd_stats"] = st512b
         except Exception as e:
             record["vol512_windowed_rays_per_s"] = None
             print(f"# vol512 bench failed: {type(e).__name__}: {e}",

@@ -221,7 +221,9 @@ def _device_render(vol, xs, ys, zs, rad, r1, r2, rot, inv_rot,
             # render_image_fast's PHOTON_WINDOW_CHECK policy).
             from photon_tpu.ops.march_window import (WindowPlan,
                                                      chief_deltas_windowed)
-            plan = WindowPlan(*window_arrays, *window_shape)
+            plan = WindowPlan(window_arrays[0], window_arrays[1],
+                              window_arrays[2], window_arrays[3],
+                              window_arrays[4], *window_shape)
             *deltas6, viol = chief_deltas_windowed(
                 vol, plan, *chief, algorithm=algorithm,
                 interpolation_scheme=interpolation_scheme,
@@ -569,7 +571,7 @@ def _get_sharded_render(mesh, statics: dict, reduce: bool = True):
     # outputs carry no varying-mesh-axes annotation, which the checker
     # (jax >= 0.7) would reject inside shard_map
     in_specs = (repl, part, part, part, part, repl, repl, repl, repl,
-                repl) + ((part,) * 4 if has_window else ())
+                repl) + ((part,) * 5 if has_window else ())
     out_specs = repl if reduce else part
     if has_window:
         out_specs = (out_specs, out_specs)
@@ -782,8 +784,11 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
             if plan is not None:
                 window_arrays = (jnp.asarray(plan.perm),
                                  jnp.asarray(plan.valid),
-                                 jnp.asarray(plan.ox), jnp.asarray(plan.oy))
-                window_shape = (int(plan.win_w), int(plan.win_h))
+                                 jnp.asarray(plan.ox),
+                                 jnp.asarray(plan.oxc),
+                                 jnp.asarray(plan.oy))
+                window_shape = (int(plan.win_w), int(plan.win_h),
+                                bool(plan.two_copy))
         else:
             # multi-chip: per-shard plans over the SAME contiguous
             # particle split the mesh dispatch uses, harmonized to one
@@ -808,10 +813,12 @@ def render_image_fast(cfg: SimulationConfig, setup: CameraSetup,
                     _window_plan_cache.clear()
                 _window_plan_cache[key] = cached
             if cached is not None:
-                perm, valid, oxs, oys, wshape = cached
+                perm, valid, oxs, oxcs, oys, wshape = cached
                 window_arrays = (jnp.asarray(perm), jnp.asarray(valid),
-                                 jnp.asarray(oxs), jnp.asarray(oys))
-                window_shape = (int(wshape[0]), int(wshape[1]))
+                                 jnp.asarray(oxs), jnp.asarray(oxcs),
+                                 jnp.asarray(oys))
+                window_shape = (int(wshape[0]), int(wshape[1]),
+                                bool(wshape[2]))
 
     # algorithm 3 (the reference's adaptive RK45): pick the fixed
     # substep count from the data instead of hardcoding 2 — a

@@ -89,10 +89,11 @@ _B_FOR_SLAB = ((64 * 64, 1024), (128 * 128, 512), (256 * 256, 256))
 _BWD_MAX_RAYS = 64 * 1024
 
 # slab-area ceiling for the fused backward kernel (beyond it gradients
-# recompute through the per-stage sampler path, proven to 256x256).
-# 64x64 @ B=1024 and 128x128 @ B=512 measured <16 MB scoped VMEM on
-# v5e; 256x256 @ B=256 pending TPU validation.
-_BWD_FUSED_MAX_SLAB = 128 * 128
+# route through the windowed march in production).  TPU-validated at
+# every forward tier: 64x64 @ B=1024, 128x128 @ B=512, and (round 5)
+# 256x256 @ B=256 — 73 ms stage / ~130 ms recompute for 32k chiefs x
+# 9 slabs on v5e, stage-vs-recompute gradient cosine 0.99999.
+_BWD_FUSED_MAX_SLAB = 256 * 256
 
 
 def block_size_for_slab(wh: int) -> int:

@@ -83,14 +83,26 @@ _WIN_VMEM_MAX = 24 << 20
 
 
 class WindowPlan(NamedTuple):
-    """Host-side plan: ray permutation + per-(block, slab) windows."""
+    """Host-side plan: ray permutation + per-(block, slab) windows.
+
+    ``two_copy`` (the lane-snap reclaim): window x-origins snap to 16
+    voxels instead of 32 by reading from one of TWO field copies — the
+    natural layout and a 16-voxel x-shifted twin (built device-side by
+    the march wrapper).  ``ox`` then holds the 32-aligned DMA offset
+    into copy ``oxc`` and the GLOBAL origin is ``ox + 16 * oxc``; the
+    halved snap slack shrinks the static window width by a 32-voxel
+    step on scenes whose extents straddle the boundary (the 512^3 bench:
+    128 -> 96, -25%% MXU work).  With ``two_copy`` False, ``oxc`` is
+    all zeros and ``ox`` is the global 32-aligned origin."""
 
     perm: np.ndarray          # (G*B,) int32 ray index per padded slot
     valid: np.ndarray         # (G*B,) bool — False for padded slots
-    ox: np.ndarray            # (G, S) int32 window x-origin (voxels)
+    ox: np.ndarray            # (G, S) int32 window x DMA offset (voxels)
+    oxc: np.ndarray           # (G, S) int32 field-copy index (0/1)
     oy: np.ndarray            # (G, S) int32 window y-origin (voxels)
     win_w: int                # static window width (voxels)
     win_h: int                # static window height (voxels)
+    two_copy: bool            # 16-voxel x-snap via shifted field copy
 
 
 def _serpentine_order(ux_mid, uy_mid, w, h, block):
@@ -280,8 +292,16 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     # the window carries the snap slack on top of extent + margins.
     if force_win is not None:
         win_w, win_h = int(force_win[0]), int(force_win[1])
+        two_copy = bool(len(force_win) > 2 and force_win[2])
     else:
-        win_w = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
+        # x window width: DMA slices ride the 128-lane axis, so the
+        # WIDTH is always a 32-voxel multiple; the ORIGIN snap is 32
+        # voxels in the single-copy layout and 16 with the shifted twin
+        # (two_copy) — take the twin exactly when it saves a width step
+        win_w32 = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 31) // 32) * 32))
+        win_w16 = min(w_pad, int(-(-(ext_x + 2 * _MARGIN + 15) // 32) * 32))
+        two_copy = win_w16 < win_w32 and win_w16 + 32 <= w_pad
+        win_w = win_w16 if two_copy else win_w32
         win_h = min(h_pad, int(-(-(ext_y + 2 * _MARGIN + 7) // 8) * 8))
     # window-proportional VMEM terms of the kernel (per-byte):
     #   * double-buffered DMA scratch: 2 slots x 2 halves x (Hw, Ww*4) f32
@@ -300,31 +320,35 @@ def plan_windows(vol, xs, ys, zs, dcx, dcy, dcz,
     if require_profit and win_w * win_h * 4 >= w_pad * h_pad:
         return None                    # windows would not beat dense
 
-    # min-edge-based snapped origins: floor(min - support) to the tile
+    # min-edge-based snapped origins: floor(min - support) to the snap
     # grid guarantees the left taps, and the window's size slack (the
-    # +31/+7 terms above) guarantees the right — a center-based origin
-    # can snap OUT of the valid interval when rounding eats the slack
-    # snap AFTER the clip so the kernel's pl.multiple_of claims hold
-    # even when w/h are not multiples of the tile granularity; if the
-    # re-snap un-covers a right-edge block, the coverage check below
+    # +31/+15/+7 terms above) guarantees the right — a center-based
+    # origin can snap OUT of the valid interval when rounding eats the
+    # slack.  Snap AFTER the clip so the kernel's pl.multiple_of claims
+    # hold even when w/h are not multiples of the tile granularity; if
+    # the re-snap un-covers a right-edge block, the coverage check below
     # vetoes the plan (tube fallback) rather than shipping a lie
-    ox = (np.clip(np.floor(min_x - _SUPPORT), 0, w_pad - win_w)
-          .astype(np.int64) // 32 * 32).astype(np.int32)
+    snap = 16 if two_copy else 32
+    gx = (np.clip(np.floor(min_x - _SUPPORT), 0, w_pad - win_w)
+          .astype(np.int64) // snap * snap)
+    oxc = ((gx // 16) % 2).astype(np.int32) if two_copy \
+        else np.zeros(gx.shape, np.int32)
+    ox = (gx - 16 * oxc).astype(np.int32)      # 32-aligned DMA offset
     oy = (np.clip(np.floor(min_y - _SUPPORT), 0, h_pad - win_h)
           .astype(np.int64) // 8 * 8).astype(np.int32)
 
     # exact coverage check incl. tap support (must hold by construction;
-    # belt and braces against rounding)
-    bad = ((min_x - _SUPPORT < ox - 1e-6) & (ox > 0)) \
-        | ((max_x + _SUPPORT > ox + win_w - 1 + 1e-6)
-           & (ox + win_w < w_pad)) \
+    # belt and braces against rounding) — against the GLOBAL origin
+    bad = ((min_x - _SUPPORT < gx - 1e-6) & (gx > 0)) \
+        | ((max_x + _SUPPORT > gx + win_w - 1 + 1e-6)
+           & (gx + win_w < w_pad)) \
         | ((min_y - _SUPPORT < oy - 1e-6) & (oy > 0)) \
         | ((max_y + _SUPPORT > oy + win_h - 1 + 1e-6)
            & (oy + win_h < h_pad))
     if bad.any():
         return None
-    return WindowPlan(perm=perm, valid=valid, ox=ox, oy=oy,
-                      win_w=win_w, win_h=win_h)
+    return WindowPlan(perm=perm, valid=valid, ox=ox, oxc=oxc, oy=oy,
+                      win_w=win_w, win_h=win_h, two_copy=two_copy)
 
 
 def plan_windows_sharded(vol, xs, ys, zs, dcx, dcy, dcz, n_shards: int):
@@ -361,8 +385,11 @@ def plan_windows_sharded(vol, xs, ys, zs, dcx, dcy, dcz, n_shards: int):
         return None
     win_w = max(p.win_w for p in plans)
     win_h = max(p.win_h for p in plans)
-    if any((p.win_w, p.win_h) != (win_w, win_h) for p in plans):
-        plans = [plan_windows(vol, *s, block=B, force_win=(win_w, win_h))
+    two_copy = all(p.two_copy for p in plans)
+    if any((p.win_w, p.win_h, p.two_copy) != (win_w, win_h, two_copy)
+           for p in plans):
+        plans = [plan_windows(vol, *s, block=B,
+                              force_win=(win_w, win_h, two_copy))
                  for s in subs]
         if any(p is None for p in plans):
             return None
@@ -374,19 +401,22 @@ def plan_windows_sharded(vol, xs, ys, zs, dcx, dcy, dcz, n_shards: int):
         if g0 == G:
             return p
         gpad = G - g0
+        zgs = np.zeros((gpad, S), np.int32)
         return WindowPlan(
             perm=np.concatenate([p.perm, np.zeros(gpad * B, np.int32)]),
             valid=np.concatenate([p.valid, np.zeros(gpad * B, bool)]),
-            ox=np.concatenate([p.ox, np.zeros((gpad, S), np.int32)]),
-            oy=np.concatenate([p.oy, np.zeros((gpad, S), np.int32)]),
-            win_w=win_w, win_h=win_h)
+            ox=np.concatenate([p.ox, zgs]),
+            oxc=np.concatenate([p.oxc, zgs]),
+            oy=np.concatenate([p.oy, zgs]),
+            win_w=win_w, win_h=win_h, two_copy=two_copy)
 
     plans = [pad_plan(p) for p in plans]
     return (np.concatenate([p.perm for p in plans]),
             np.concatenate([p.valid for p in plans]),
             np.concatenate([p.ox for p in plans]),
+            np.concatenate([p.oxc for p in plans]),
             np.concatenate([p.oy for p in plans]),
-            (win_w, win_h))
+            (win_w, win_h, two_copy))
 
 
 def plan_drift_ok(vol, xs, ys, zs, dcx, dcy, dcz, *,
@@ -498,26 +528,28 @@ def _drift_violation(ux, uy, gl_x, gr_x, gl_y, gr_y, in_band,
     return jnp.where(bad & in_band, 1.0, 0.0)
 
 
-def _window_kernel(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
-                   out_ref, viol_ref, scratch, win, sem, **kw):
-    return _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref,
-                               pairs_hbm, out_ref, viol_ref, None,
-                               scratch, win, sem, **kw)
+def _window_kernel(params_ref, ox_ref, oxc_ref, oy_ref, state_ref,
+                   pairs_hbm, out_ref, viol_ref, scratch, win, sem, **kw):
+    return _window_kernel_impl(params_ref, ox_ref, oxc_ref, oy_ref,
+                               state_ref, pairs_hbm, out_ref, viol_ref,
+                               None, scratch, win, sem, **kw)
 
 
-def _window_kernel_traj(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
-                        out_ref, viol_ref, traj_ref, scratch, win, sem,
-                        **kw):
-    return _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref,
-                               pairs_hbm, out_ref, viol_ref, traj_ref,
-                               scratch, win, sem, **kw)
+def _window_kernel_traj(params_ref, ox_ref, oxc_ref, oy_ref, state_ref,
+                        pairs_hbm, out_ref, viol_ref, traj_ref, scratch,
+                        win, sem, **kw):
+    return _window_kernel_impl(params_ref, ox_ref, oxc_ref, oy_ref,
+                               state_ref, pairs_hbm, out_ref, viol_ref,
+                               traj_ref, scratch, win, sem, **kw)
 
 
-def _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
-                        out_ref, viol_ref, traj_ref, scratch, win, sem,
+def _window_kernel_impl(params_ref, ox_ref, oxc_ref, oy_ref, state_ref,
+                        pairs_hbm, out_ref, viol_ref, traj_ref, scratch,
+                        win, sem,
                         *, W: int, H: int, S: int, Ww: int, Hw: int, B: int,
                         scheme: int, algorithm: int, substeps: int,
-                        passes: int, padded_x: bool, padded_y: bool):
+                        passes: int, padded_x: bool, padded_y: bool,
+                        two_copy: bool):
     """One (ray block g, slab s) step of the windowed march.
 
     pairs_hbm: the field's natural (D, H, W*4) reshape in ANY/HBM
@@ -549,12 +581,19 @@ def _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
         oyw = oy_ref[g, step]
         ox4 = pl.multiple_of(oxw * 4, 128)
         oy8 = pl.multiple_of(oyw, 8)
-        lo = pltpu.make_async_copy(
-            pairs_hbm.at[S - 1 - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
-            win.at[slot, 0], sem.at[slot, 0])
-        hi = pltpu.make_async_copy(
-            pairs_hbm.at[S - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
-            win.at[slot, 1], sem.at[slot, 1])
+        if two_copy:
+            c = oxc_ref[g, step]
+            src_lo = pairs_hbm.at[c, S - 1 - step, pl.ds(oy8, Hw),
+                                  pl.ds(ox4, Ww * 4)]
+            src_hi = pairs_hbm.at[c, S - step, pl.ds(oy8, Hw),
+                                  pl.ds(ox4, Ww * 4)]
+        else:
+            src_lo = pairs_hbm.at[S - 1 - step, pl.ds(oy8, Hw),
+                                  pl.ds(ox4, Ww * 4)]
+            src_hi = pairs_hbm.at[S - step, pl.ds(oy8, Hw),
+                                  pl.ds(ox4, Ww * 4)]
+        lo = pltpu.make_async_copy(src_lo, win.at[slot, 0], sem.at[slot, 0])
+        hi = pltpu.make_async_copy(src_hi, win.at[slot, 1], sem.at[slot, 1])
         return lo, hi
 
     slot = jax.lax.rem(s, 2)
@@ -592,11 +631,12 @@ def _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
     hstep = -(z - z_plane)
 
     ox = ox_ref[g, s]
+    gx = ox + 16 * oxc_ref[g, s] if two_copy else ox   # GLOBAL origin
     oy = oy_ref[g, s]
-    oxf = ox.astype(jnp.float32)
+    oxf = gx.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
-    gl_x = jnp.where(ox == 0, 1.0, 0.0)
-    gr_x = jnp.where(ox + Ww == W, 1.0, 0.0)
+    gl_x = jnp.where(gx == 0, 1.0, 0.0)
+    gr_x = jnp.where(gx + Ww == W, 1.0, 0.0)
     gl_y = jnp.where(oy == 0, 1.0, 0.0)
     gr_y = jnp.where(oy + Hw == H, 1.0, 0.0)
 
@@ -690,7 +730,19 @@ def _window_kernel_impl(params_ref, ox_ref, oy_ref, state_ref, pairs_hbm,
         out_ref[0] = scratch[:]
 
 
-def _window_call(static, params, ox, oy, state, pairs,
+def _stack_copies(pairs, two_copy: bool):
+    """(D, Hp, Wp*4) -> (2, D, Hp, Wp*4): the natural layout plus its
+    16-voxel x-shifted twin (copy-1 element x = base element x+16; the
+    64-element tail pad is never read — window DMA offsets into copy 1
+    stay 16 voxels short of the edge by construction)."""
+    if not two_copy:
+        return pairs
+    shifted = jnp.pad(pairs[:, :, 64:], ((0, 0), (0, 0), (0, 64)),
+                      mode="edge")
+    return jnp.stack([pairs, shifted], axis=0)
+
+
+def _window_call(static, params, ox, oxc, oy, state, pairs,
                  save_traj: bool = False):
     """state: (G, 8, B); pairs: (D, Hp, Wp*4) in ANY/HBM space.
 
@@ -699,12 +751,14 @@ def _window_call(static, params, ox, oy, state, pairs,
     """
     (W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret,
      passes, padded_x, padded_y) = static[:13]
+    two_copy = bool(static[14])
     G = state.shape[0]
+    pairs = _stack_copies(pairs, two_copy)
     kern = functools.partial(
         _window_kernel_traj if save_traj else _window_kernel,
         W=W, H=H, S=S, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
         algorithm=algorithm, substeps=substeps, passes=passes,
-        padded_x=padded_x, padded_y=padded_y)
+        padded_x=padded_x, padded_y=padded_y, two_copy=two_copy)
     out_specs = [pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, 1, B), lambda g, s: (g, 0, 0),
@@ -725,6 +779,7 @@ def _window_call(static, params, ox, oy, state, pairs,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -737,7 +792,7 @@ def _window_call(static, params, ox, oy, state, pairs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(params, ox, oy, state, pairs)
+    )(params, ox, oxc, oy, state, pairs)
 
 
 def _stage_rows_win(algorithm: int) -> int:
@@ -755,15 +810,15 @@ def _stage_rows_win(algorithm: int) -> int:
 _BWD_WIN_MAX_RAYS = 64 * 1024
 
 
-def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
-                       pairs_hbm, ct_in_ref, ctf_in,
+def _bwd_window_kernel(params_ref, ox_ref, oxc_ref, oy_ref, out_ref,
+                       traj_ref, pairs_hbm, ct_in_ref, ctf_in,
                        dfield_ref, dstate_ref,
                        prim_scratch, ct_scratch, win, ctwin,
                        sem, ctsem, ldsem,
                        *, W: int, H: int, S: int, G: int, Ww: int, Hw: int,
                        B: int, scheme: int, algorithm: int,
                        defect_iters: int, padded_x: bool, padded_y: bool,
-                       has_traj: bool):
+                       has_traj: bool, two_copy: bool):
     """One (reversed slab si, ray block g) step of the windowed backward.
 
     The slab axis is OUTER and reversed (forward step s = S-1-si); two
@@ -809,16 +864,34 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         ld2.wait()
 
     # ---- field window DMA (double-buffered across the g axis) ---------
-    def win_dmas(step, gi, slot):
+    # The backward reads the BASE field only (no shifted twin: the one
+    # ct tensor cannot have a copy — writes would alias — and the
+    # backward is latency-bound, not MXU-bound, so the wider window
+    # costs little).  Under two_copy the plan's 16-snapped global
+    # origins are covered by re-widening to Wwb = Ww + 32 at the
+    # 32-aligned offset min(ox, W - Wwb): [ox32, ox32 + Wwb) always
+    # contains [gx, gx + Ww) with the fold rows landing exactly on the
+    # global borders, so ALL window-local semantics (weights, folds,
+    # ct RMW) work verbatim at (Wwb, ox32).
+    Wwb = Ww + 32 if two_copy else Ww
+
+    def bwd_ox(gi, step):
         oxw = ox_ref[gi, step]
+        if two_copy:
+            oxw = jnp.minimum(oxw, W - Wwb)
+        return oxw
+
+    def win_dmas(step, gi, slot):
+        oxw = bwd_ox(gi, step)
         oyw = oy_ref[gi, step]
         ox4 = pl.multiple_of(oxw * 4, 128)
         oy8 = pl.multiple_of(oyw, 8)
         lo = pltpu.make_async_copy(
-            pairs_hbm.at[S - 1 - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+            pairs_hbm.at[S - 1 - step, pl.ds(oy8, Hw),
+                         pl.ds(ox4, Wwb * 4)],
             win.at[slot, 0], sem.at[slot, 0])
         hi = pltpu.make_async_copy(
-            pairs_hbm.at[S - step, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+            pairs_hbm.at[S - step, pl.ds(oy8, Hw), pl.ds(ox4, Wwb * 4)],
             win.at[slot, 1], sem.at[slot, 1])
         return lo, hi
 
@@ -836,12 +909,12 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         lo.start()
         hi.start()
 
-    ox = ox_ref[g, s]
+    ox = bwd_ox(g, s)                # widened-window global origin
     oy = oy_ref[g, s]
     oxf = ox.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
     gl_x = jnp.where(ox == 0, 1.0, 0.0)
-    gr_x = jnp.where(ox + Ww == W, 1.0, 0.0)
+    gr_x = jnp.where(ox + Wwb == W, 1.0, 0.0)
     gl_y = jnp.where(oy == 0, 1.0, 0.0)
     gr_y = jnp.where(oy + Hw == H, 1.0, 0.0)
 
@@ -864,7 +937,7 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
     lo_cur, hi_cur = win_dmas(s, g, slot)
     lo_cur.wait()
     hi_cur.wait()
-    win2d = win[slot].reshape(2 * Hw, Ww * 4)
+    win2d = win[slot].reshape(2 * Hw, Wwb * 4)
 
     dn_A = (((0,), (0,)), ((), ()))     # win2d (2Hw, Ww4) x wy (2Hw, B)
     dn_ctp = (((1,), (1,)), ((), ()))   # wy_cat (2Hw, B) x d_A (Ww4, B)
@@ -892,11 +965,11 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         march_dense_fused._bwd_fused_kernel.rhs for the rationale)."""
         px, py, tx, ty, tz = st
         ux, uy, uz, _ = coords(px, py, z_at)
-        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x, padded_x)
+        wx = _weights_T_win(ux, Wwb, scheme, gl_x, gr_x, padded_x)
         vals = _weights_T_win(uy, Hw, scheme, gl_y, gr_y, padded_y)
         wy_cat = jnp.concatenate([vals * (1.0 - uz), vals * uz], axis=0)
         A = dot1(win2d, wy_cat, dn_A)
-        s4c = jnp.sum(A.reshape(Ww, 4, B) * wx[:, None, :], axis=0)
+        s4c = jnp.sum(A.reshape(Wwb, 4, B) * wx[:, None, :], axis=0)
         gx, gy, gz, nm1 = s4c[0:1], s4c[1:2], s4c[2:3], s4c[3:4]
         inv = jnp.where(in_band, 1.0 / tz, 0.0)
         gfac = (1.0 + nm1) * inv
@@ -907,10 +980,10 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         twin of march_dense_fused._bwd_stage_kernel.vjp_stage)."""
         px, py, tx, ty, tz = st
         ux, uy, uz, uz_raw = coords(px, py, z_at)
-        wx = _weights_T_win(ux, Ww, scheme, gl_x, gr_x, padded_x)
+        wx = _weights_T_win(ux, Wwb, scheme, gl_x, gr_x, padded_x)
         vals = _weights_T_win(uy, Hw, scheme, gl_y, gr_y, padded_y)
         wy_cat = jnp.concatenate([vals * (1.0 - uz), vals * uz], axis=0)
-        A_r = dot1(win2d, wy_cat, dn_A).reshape(Ww, 4, B)
+        A_r = dot1(win2d, wy_cat, dn_A).reshape(Wwb, 4, B)
         s4c = jnp.sum(A_r * wx[:, None, :], axis=0)
         gx, gy, gz, nm1 = s4c[0:1], s4c[1:2], s4c[2:3], s4c[3:4]
         inv = jnp.where(in_band, 1.0 / tz, 0.0)
@@ -928,10 +1001,11 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         d_ty = d1 * inv
         d_tz = -(inv * inv) * d_inv
         d_s4 = jnp.concatenate([d_gx, d_gy, d_gz, d_nm1], axis=0)
-        d_A = (wx[:, None, :] * d_s4[None]).reshape(Ww * 4, B)
+        d_A = (wx[:, None, :] * d_s4[None]).reshape(Wwb * 4, B)
         d_wx = jnp.sum(A_r * d_s4[None], axis=1)
         d_ux = jnp.sum(
-            d_wx * _weights_T_win_du(ux, Ww, scheme, gl_x, gr_x, padded_x),
+            d_wx * _weights_T_win_du(ux, Wwb, scheme, gl_x, gr_x,
+                                     padded_x),
             axis=0, keepdims=True)
         ct_pair = dot1(wy_cat, d_A, dn_ctp)            # (2Hw, Ww4)
         d_wy_cat = dot1(win2d, d_A, dn_dwy)            # (2Hw, B)
@@ -1039,38 +1113,38 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         pg = jnp.where(g > 0, g - 1, G - 1)
         psi = jnp.where(g > 0, si, si - 1)
         ps = S - 1 - psi
-        pox = pl.multiple_of(ox_ref[pg, ps] * 4, 128)
+        pox = pl.multiple_of(bwd_ox(pg, ps) * 4, 128)
         poy = pl.multiple_of(oy_ref[pg, ps], 8)
         w_lo = pltpu.make_async_copy(
             ctwin.at[0], dfield_ref.at[S - 1 - ps, pl.ds(poy, Hw),
-                                       pl.ds(pox, Ww * 4)], ctsem.at[0])
+                                       pl.ds(pox, Wwb * 4)], ctsem.at[0])
         w_hi = pltpu.make_async_copy(
             ctwin.at[1], dfield_ref.at[S - ps, pl.ds(poy, Hw),
-                                       pl.ds(pox, Ww * 4)], ctsem.at[1])
+                                       pl.ds(pox, Wwb * 4)], ctsem.at[1])
         w_lo.wait()
         w_hi.wait()
 
     ox4 = pl.multiple_of(ox * 4, 128)
     oy8 = pl.multiple_of(oy, 8)
     r_lo = pltpu.make_async_copy(
-        dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+        dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw), pl.ds(ox4, Wwb * 4)],
         ctwin.at[0], ctsem.at[0])
     r_hi = pltpu.make_async_copy(
-        dfield_ref.at[S - s, pl.ds(oy8, Hw), pl.ds(ox4, Ww * 4)],
+        dfield_ref.at[S - s, pl.ds(oy8, Hw), pl.ds(ox4, Wwb * 4)],
         ctwin.at[1], ctsem.at[1])
     r_lo.start()
     r_hi.start()
     r_lo.wait()
     r_hi.wait()
-    ctp3d = ctp.reshape(2, Hw, Ww * 4)
+    ctp3d = ctp.reshape(2, Hw, Wwb * 4)
     ctwin[0] = ctwin[0] + ctp3d[0]
     ctwin[1] = ctwin[1] + ctp3d[1]
     w_lo = pltpu.make_async_copy(
         ctwin.at[0], dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw),
-                                   pl.ds(ox4, Ww * 4)], ctsem.at[0])
+                                   pl.ds(ox4, Wwb * 4)], ctsem.at[0])
     w_hi = pltpu.make_async_copy(
         ctwin.at[1], dfield_ref.at[S - s, pl.ds(oy8, Hw),
-                                   pl.ds(ox4, Ww * 4)], ctsem.at[1])
+                                   pl.ds(ox4, Wwb * 4)], ctsem.at[1])
     w_lo.start()
     w_hi.start()
 
@@ -1078,10 +1152,10 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
     def _():
         w_lo2 = pltpu.make_async_copy(
             ctwin.at[0], dfield_ref.at[S - 1 - s, pl.ds(oy8, Hw),
-                                       pl.ds(ox4, Ww * 4)], ctsem.at[0])
+                                       pl.ds(ox4, Wwb * 4)], ctsem.at[0])
         w_hi2 = pltpu.make_async_copy(
             ctwin.at[1], dfield_ref.at[S - s, pl.ds(oy8, Hw),
-                                       pl.ds(ox4, Ww * 4)], ctsem.at[1])
+                                       pl.ds(ox4, Wwb * 4)], ctsem.at[1])
         w_lo2.wait()
         w_hi2.wait()
 
@@ -1108,30 +1182,31 @@ def _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
         stc.wait()
 
 
-def _bwd_window_kernel_traj(params_ref, ox_ref, oy_ref, out_ref, traj_ref,
-                            pairs_hbm, ct_in_ref, ctf_in, dfield_ref,
-                            dstate_ref, prim_scratch, ct_scratch, win,
-                            ctwin, sem, ctsem, ldsem, **kw):
-    return _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref,
+def _bwd_window_kernel_traj(params_ref, ox_ref, oxc_ref, oy_ref, out_ref,
+                            traj_ref, pairs_hbm, ct_in_ref, ctf_in,
+                            dfield_ref, dstate_ref, prim_scratch,
+                            ct_scratch, win, ctwin, sem, ctsem, ldsem,
+                            **kw):
+    return _bwd_window_kernel(params_ref, ox_ref, oxc_ref, oy_ref, out_ref,
                               traj_ref, pairs_hbm, ct_in_ref, ctf_in,
                               dfield_ref, dstate_ref, prim_scratch,
                               ct_scratch, win, ctwin, sem, ctsem, ldsem,
                               has_traj=True, **kw)
 
 
-def _bwd_window_kernel_rec(params_ref, ox_ref, oy_ref, out_ref,
+def _bwd_window_kernel_rec(params_ref, ox_ref, oxc_ref, oy_ref, out_ref,
                            pairs_hbm, ct_in_ref, ctf_in, dfield_ref,
                            dstate_ref, prim_scratch, ct_scratch, win,
                            ctwin, sem, ctsem, ldsem, **kw):
-    return _bwd_window_kernel(params_ref, ox_ref, oy_ref, out_ref, None,
-                              pairs_hbm, ct_in_ref, ctf_in, dfield_ref,
-                              dstate_ref, prim_scratch, ct_scratch, win,
-                              ctwin, sem, ctsem, ldsem, has_traj=False,
-                              **kw)
+    return _bwd_window_kernel(params_ref, ox_ref, oxc_ref, oy_ref, out_ref,
+                              None, pairs_hbm, ct_in_ref, ctf_in,
+                              dfield_ref, dstate_ref, prim_scratch,
+                              ct_scratch, win, ctwin, sem, ctsem, ldsem,
+                              has_traj=False, **kw)
 
 
-def _bwd_window_call(static, params, ox, oy, out, traj, pairs, ct_out,
-                     ct_field):
+def _bwd_window_call(static, params, ox, oxc, oy, out, traj, pairs,
+                     ct_out, ct_field):
     """Run the windowed backward kernel over one ray-block chunk.
 
     ``ct_field`` is the running field-cotangent accumulator — aliased to
@@ -1141,18 +1216,20 @@ def _bwd_window_call(static, params, ox, oy, out, traj, pairs, ct_out,
     (W, H, S, Ww, Hw, B, scheme, algorithm, substeps, interpret,
      passes, padded_x, padded_y) = static[:13]
     defect_iters = static[13]
+    two_copy = bool(static[14])
     G = out.shape[0]
     has_traj = traj is not None
     kw = dict(W=W, H=H, S=S, G=G, Ww=Ww, Hw=Hw, B=B, scheme=scheme,
               algorithm=algorithm, defect_iters=defect_iters,
-              padded_x=padded_x, padded_y=padded_y)
+              padded_x=padded_x, padded_y=padded_y, two_copy=two_copy)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),       # params
         pl.BlockSpec(memory_space=pltpu.SMEM),       # ox
+        pl.BlockSpec(memory_space=pltpu.SMEM),       # oxc
         pl.BlockSpec(memory_space=pltpu.SMEM),       # oy
         pl.BlockSpec(memory_space=pl.ANY),           # out (exit states)
     ]
-    args = [params, ox, oy, out]
+    args = [params, ox, oxc, oy, out]
     if has_traj:
         rows = _stage_rows_win(algorithm)
         in_specs.append(
@@ -1170,6 +1247,7 @@ def _bwd_window_call(static, params, ox, oy, out, traj, pairs, ct_out,
     ]
     args += [pairs, ct_out, ct_field]
     n_in = len(args)
+    Wwb = Ww + 32 if two_copy else Ww
     dfield, dstate = pl.pallas_call(
         kern,
         grid=(S, G),
@@ -1179,13 +1257,13 @@ def _bwd_window_call(static, params, ox, oy, out, traj, pairs, ct_out,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(pairs.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ct_field.shape, jnp.float32),
             jax.ShapeDtypeStruct((G, 8, B), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((G, 8, B), jnp.float32),
                         pltpu.VMEM((G, 8, B), jnp.float32),
-                        pltpu.VMEM((2, 2, Hw, Ww * 4), jnp.float32),
-                        pltpu.VMEM((2, Hw, Ww * 4), jnp.float32),
+                        pltpu.VMEM((2, 2, Hw, Wwb * 4), jnp.float32),
+                        pltpu.VMEM((2, Hw, Wwb * 4), jnp.float32),
                         pltpu.SemaphoreType.DMA((2, 2)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA(())],
@@ -1203,24 +1281,34 @@ def _bwd_window_eligible(static) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _window_march(static, params, ox, oy, state, pairs):
-    out, viol = _window_call(static, params, ox, oy, state, pairs)
+def _window_march(static, params, ox, oxc, oy, state, pairs):
+    out, viol = _window_call(static, params, ox, oxc, oy, state, pairs)
     return out, viol
 
 
-def _window_march_fwd(static, params, ox, oy, state, pairs):
-    from photon_tpu.ops.march_dense_fused import _traj_max_bytes
+def _win_traj_max_bytes() -> int:
+    """Stage-residual budget for the WINDOWED march (trace-time env).
 
+    Defaults higher than the dense march's (6 GB vs 2 GB): the windowed
+    case IS the large-volume case, where the residual (e.g. 5.9 GB for
+    120k chiefs x 511 slabs) plus the base field and the ct tensor
+    still fit a 16 GB chip and buy a ~2x faster backward than the
+    reverse-re-march reconstruction (4 VJP units/step vs 11)."""
+    import os
+    return int(os.environ.get("PHOTON_TRAJ_MAX_BYTES", 6 << 30))
+
+
+def _window_march_fwd(static, params, ox, oxc, oy, state, pairs):
     S, B, algorithm = static[2], static[5], static[7]
     G = state.shape[0]
     if _bwd_window_eligible(static):
         traj_bytes = G * S * _stage_rows_win(algorithm) * B * 4
-        if traj_bytes <= _traj_max_bytes():
-            out, viol, traj = _window_call(static, params, ox, oy, state,
-                                           pairs, save_traj=True)
-            return (out, viol), (params, ox, oy, out, pairs, traj)
-    out, viol = _window_call(static, params, ox, oy, state, pairs)
-    return (out, viol), (params, ox, oy, out, pairs, None)
+        if traj_bytes <= _win_traj_max_bytes():
+            out, viol, traj = _window_call(static, params, ox, oxc, oy,
+                                           state, pairs, save_traj=True)
+            return (out, viol), (params, ox, oxc, oy, out, pairs, traj)
+    out, viol = _window_call(static, params, ox, oxc, oy, state, pairs)
+    return (out, viol), (params, ox, oxc, oy, out, pairs, None)
 
 
 def _window_march_bwd(static, res, cts):
@@ -1230,7 +1318,7 @@ def _window_march_bwd(static, res, cts):
     windowed RMW kernel.  The drift-violation output is a diagnostic
     (zero cotangent)."""
     ct_out, _ct_viol = cts
-    params, ox, oy, out, pairs, traj = res
+    params, ox, oxc, oy, out, pairs, traj = res
     if not _bwd_window_eligible(static):
         raise NotImplementedError(
             "windowed march gradients support Euler/RK4 with substeps=1; "
@@ -1244,14 +1332,15 @@ def _window_march_bwd(static, res, cts):
     for i in range(0, G, max_g):
         tr = None if traj is None else traj[i:i + max_g]
         ct_field, ds = _bwd_window_call(
-            static, params, ox[i:i + max_g], oy[i:i + max_g],
-            out[i:i + max_g], tr, pairs, ct_out[i:i + max_g], ct_field)
+            static, params, ox[i:i + max_g], oxc[i:i + max_g],
+            oy[i:i + max_g], out[i:i + max_g], tr, pairs,
+            ct_out[i:i + max_g], ct_field)
         d_states.append(ds)
     d_state = (d_states[0] if len(d_states) == 1
                else jnp.concatenate(d_states, axis=0))
     zi = functools.partial(np.zeros, dtype=jax.dtypes.float0)
-    return (jnp.zeros_like(params), zi(ox.shape), zi(oy.shape),
-            d_state, ct_field)
+    return (jnp.zeros_like(params), zi(ox.shape), zi(oxc.shape),
+            zi(oy.shape), d_state, ct_field)
 
 
 _window_march.defvjp(_window_march_fwd, _window_march_bwd)
@@ -1345,9 +1434,10 @@ def march_chief_windowed(vol, plan: WindowPlan, xs, ys, zs, dcx, dcy, dcz,
     static = (w_pad, h_pad, d - 1, int(plan.win_w), int(plan.win_h),
               int(B), int(interpolation_scheme), int(algorithm), substeps,
               bool(interpret), int(passes), w_pad != w, h_pad != h,
-              defect_iters)
+              defect_iters, bool(plan.two_copy))
 
     out, viol = _window_march(static, params, jnp.asarray(plan.ox),
+                              jnp.asarray(plan.oxc),
                               jnp.asarray(plan.oy), state, field_hbm)
     rows = jnp.transpose(out, (1, 0, 2)).reshape(8, G * B)
 

@@ -319,3 +319,50 @@ def test_fused_large_slab_gradient_falls_back():
     denom = np.abs(gr).max()
     assert denom > 0
     np.testing.assert_allclose(gf / denom, gr / denom, atol=5e-4)
+
+
+def test_fused_bwd_beyond_128sq_slab(monkeypatch):
+    """Round-5: the fused backward covers every slab the fused forward
+    covers (the 256^2 tier was TPU-validated and the cap raised).  CI
+    checks a >128^2 slab in interpret mode against the XLA per-stage
+    autodiff with its production memory guard lifted."""
+    import photon_tpu.ops.march_dense as md
+    import photon_tpu.ops.march_dense_fused as mdf
+
+    assert mdf._BWD_FUSED_MAX_SLAB >= 256 * 256
+    monkeypatch.setattr(md, "DENSE_MAX_SLAB", 1 << 30)
+    rng = np.random.default_rng(7)
+    n, d = 160, 6
+    lo, hi, z0, z1 = -6e4, 6e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, n)
+    rho = 1.225 + 0.08 * rng.random((n, n, d))
+    from photon_tpu.volume import build_density_volume
+    vol = build_density_volume(
+        rho, [x[1] - x[0], x[1] - x[0], (z1 - z0) / (d - 1)], [lo, lo, z0])
+    assert n * n > 128 * 128
+
+    p = 1024
+    xs = rng.uniform(-5.5e4, 5.5e4, p)
+    ys = rng.uniform(-5.5e4, 5.5e4, p)
+    zs = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = rng.uniform(-0.02, 0.02, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    ch = tuple(jnp.asarray(np.asarray(a, np.float32)) for a in
+               (xs, ys, zs, tx * inv, ty * inv, -inv))
+
+    def loss(marcher):
+        def fn(field):
+            o = marcher(field)
+            return jnp.sum(o[0] ** 2 + o[3] ** 2 * 1e6)
+        return fn
+
+    gf = np.asarray(jax.grad(loss(
+        lambda f: march_chief_fused(vol, *ch, algorithm=2, field=f,
+                                    interpret=True)))(vol.field)).ravel()
+    gd = np.asarray(jax.grad(loss(
+        lambda f: march_chief_dense(vol, *ch, algorithm=2, field=f,
+                                    use_pallas_sampler=False)))(
+                        vol.field)).ravel()
+    cos = gf @ gd / (np.linalg.norm(gf) * np.linalg.norm(gd))
+    assert cos > 0.9999, cos

@@ -288,8 +288,8 @@ def test_windowed_gradients_match_dense(scheme, traj, monkeypatch):
     per-stage XLA autodiff oracle — both backward flavors (saved stage
     residual / reverse re-march reconstruction)."""
     if traj == "recompute":
-        import photon_tpu.ops.march_dense_fused as mdf
-        monkeypatch.setattr(mdf, "_traj_max_bytes", lambda: 0)
+        import photon_tpu.ops.march_window as mw
+        monkeypatch.setattr(mw, "_win_traj_max_bytes", lambda: 0)
     vol = _vol(n=64, d=8)
     ch = _chiefs(2048)
     plan = plan_windows(vol, *ch, require_profit=False)
@@ -313,7 +313,7 @@ def test_windowed_gradients_match_dense(scheme, traj, monkeypatch):
 
 
 def test_windowed_euler_gradients_match_dense(monkeypatch):
-    import photon_tpu.ops.march_dense_fused as mdf
+    import photon_tpu.ops.march_window as mw
     vol = _vol(n=64, d=8)
     ch = _chiefs(2048, seed=4)
     plan = plan_windows(vol, *ch, require_profit=False)
@@ -325,7 +325,7 @@ def test_windowed_euler_gradients_match_dense(monkeypatch):
                         vol.field)).ravel()
     for traj_bytes in (None, 0):
         if traj_bytes is not None:
-            monkeypatch.setattr(mdf, "_traj_max_bytes", lambda: 0)
+            monkeypatch.setattr(mw, "_win_traj_max_bytes", lambda: 0)
         gw = np.asarray(jax.grad(_field_loss(
             lambda f: march_chief_windowed(vol._replace(field=f), plan,
                                            *args, algorithm=1,
@@ -462,3 +462,58 @@ def test_windowed_drift_violation_flags():
                                  *map(jnp.asarray, ch_b),
                                  return_violations=True)
     assert float(np.asarray(out_b[6]).sum()) > 0.0
+
+
+def test_windowed_two_copy_lane_snap():
+    """The 16-voxel x-origin snap (two_copy): windows read from the
+    natural field layout or its 16-voxel-shifted twin, halving the
+    origin-snap slack.  Forward must match the dense oracle through
+    both copies, and the backward's widened+rolled ct RMW must keep
+    gradient parity."""
+    rng = np.random.default_rng(3)
+    w, h, d = 256, 64, 8
+    lo, hi, z0, z1 = -12e4, 12e4, 4.0e5, 9.0e5
+    x = np.linspace(lo, hi, w)
+    vox = x[1] - x[0]
+    rho = 1.225 + 0.08 * rng.random((w, h, d))
+    vol = build_density_volume(
+        rho, [vox, vox, (z1 - z0) / (d - 1)], [lo, lo * h / w, z0])
+    p = 8 * 1024
+    xs = rng.uniform(-11e4, 11e4, p)
+    ys = rng.uniform(-0.45 * vox * h, 0.45 * vox * h, p)
+    zs = np.full(p, 1.0e6)
+    tx = rng.uniform(-0.02, 0.02, p)
+    ty = rng.uniform(-0.005, 0.005, p)
+    inv = 1.0 / np.sqrt(tx * tx + ty * ty + 1.0)
+    ch = tuple(np.asarray(a, np.float32) for a in
+               (xs, ys, zs, tx * inv, ty * inv, -inv))
+    base = plan_windows(vol, *ch, require_profit=False)
+    assert base is not None
+    # force the two-copy origin snap at the same window size: 16-snap
+    # origins cover at least as well as 32-snap, so the plan must build
+    plan = plan_windows(vol, *ch, require_profit=False,
+                        force_win=(base.win_w, base.win_h, True))
+    assert plan is not None and plan.two_copy
+    assert int(plan.oxc.max()) == 1, "no copy-1 window (degenerate scene)"
+    assert (plan.ox % 32 == 0).all()
+
+    args = tuple(map(jnp.asarray, ch))
+    got = march_chief_windowed(vol, plan, *args, passes=3)
+    ref = march_chief_dense(vol, *args, use_pallas_sampler=False)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4,
+                                   atol=0.05 if i < 3 else 2e-5)
+
+    gw = np.asarray(jax.grad(_field_loss(
+        lambda f: march_chief_windowed(vol._replace(field=f), plan, *args,
+                                       algorithm=2,
+                                       passes=3)))(vol.field)).ravel()
+    gd = np.asarray(jax.grad(_field_loss(
+        lambda f: march_chief_dense(vol, *args, algorithm=2, field=f,
+                                    use_pallas_sampler=False)))(
+                        vol.field)).ravel()
+    cos = gw @ gd / (np.linalg.norm(gw) * np.linalg.norm(gd))
+    assert cos > 0.9999, cos
+    rel = np.abs(gw - gd).max() / np.abs(gd).max()
+    assert rel < 5e-4, rel
