@@ -152,7 +152,12 @@ def bench_piv_mie(reps: int) -> float:
     st["amortized_per_render_s"] = st4["median_s"] / 4
     print(f"# piv amortized/render: {st4['median_s'] / 4:.3f}s",
           file=sys.stderr)
-    return source.num_rays / st["median_s"], st
+    # HEADLINE = the dispatch-amortized figure: the single-render wall
+    # median is dominated by RPC-tunnel dispatch jitter (round-4 spread
+    # 0.10 s on a 0.10 s median); the back-to-back run amortizes host
+    # gaps and tracks device time.  Wall medians stay in piv_stats.
+    st["wall_median_rays_per_s"] = source.num_rays / st["median_s"]
+    return source.num_rays / st["amortized_per_render_s"], st
 
 
 def build_vol512(setup, n: int = 512):
@@ -298,8 +303,25 @@ def main() -> int:
           f"{float(img.sum()):.4g}, rays {total_rays}", file=sys.stderr)
 
     fwd_stats = time_reps(run, reps)
-    rays_per_s = total_rays / fwd_stats["median_s"]
     print(f"# times: {[f'{t:.3f}' for t in fwd_stats['times_s']]}",
+          file=sys.stderr)
+    # headline = dispatch-amortized device time (4 renders back-to-back,
+    # one sync), like the PIV metric: single-render wall medians ride
+    # the RPC tunnel's dispatch jitter (a degraded-tunnel window
+    # recorded 0.30-0.80 s walls for a 0.13 s program while the longer
+    # fwd+bwd program in the same run timed normally); wall reps stay
+    # recorded in fwd_stats as the cross-check
+
+    def run4():
+        imgs = [render_image_fast(cfg, setup, source, r1, r2, vol=vol)
+                for _ in range(4)]
+        imgs[-1].block_until_ready()
+    st4 = time_reps(run4, max(reps // 2, 3))
+    fwd_stats["amortized_per_render_s"] = st4["median_s"] / 4
+    fwd_stats["wall_median_rays_per_s"] = (
+        total_rays / fwd_stats["median_s"])
+    rays_per_s = total_rays / fwd_stats["amortized_per_render_s"]
+    print(f"# fwd amortized/render: {st4['median_s'] / 4:.3f}s",
           file=sys.stderr)
 
     # secondary: forward+backward (gradient w.r.t. the density field)

@@ -303,12 +303,13 @@ def _fused_call(static, params, state, pairs, save_traj: bool = False):
 
     With ``save_traj`` also returns the (G, S, rows, B) per-step STAGE
     states (the stage backward kernel's residual)."""
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     G = state.shape[0]
     kern = functools.partial(
         _fused_kernel_traj if save_traj else _fused_kernel,
         W=W, H=H, S=S, B=B, scheme=scheme,
-        algorithm=algorithm, substeps=substeps, passes=_fwd_passes())
+        algorithm=algorithm, substeps=substeps,
+        passes=int(static[9]) if len(static) > 9 else _fwd_passes())
     out_specs = pl.BlockSpec((1, 8, B), lambda g, s: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((G, 8, B), jnp.float32)
@@ -605,7 +606,7 @@ def _bwd_fused_kernel(params_ref, out_ref, pair_ref, ct_in_ref,
 
 
 def _bwd_fused_call(static, params, out, pairs, ct_out):
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     G = out.shape[0]
     kern = functools.partial(_bwd_fused_kernel, W=W, H=H, S=S, G=G, B=B,
                              scheme=scheme, algorithm=algorithm,
@@ -834,7 +835,7 @@ def _bwd_stage_kernel(params_ref, out_ref, traj_ref, pair_ref, ct_in_ref,
 
 
 def _bwd_stage_call(static, params, out, traj, pairs, ct_out):
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     G = out.shape[0]
     rows = _stage_rows(algorithm)
     kern = functools.partial(_bwd_stage_kernel, W=W, H=H, S=S, G=G, B=B,
@@ -893,13 +894,13 @@ def _traj_max_bytes() -> int:
 
 
 def _bwd_fused_eligible(static) -> bool:
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     return algorithm in (1, 2) and substeps == 1 \
         and W * H <= _BWD_FUSED_MAX_SLAB
 
 
 def _fused_march_fwd(static, params, state, pairs, field):
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     G = state.shape[0]
     if _bwd_fused_eligible(static):
         traj_bytes = G * S * _stage_rows(algorithm) * B * 4
@@ -927,7 +928,7 @@ def _fused_march_bwd(static, res, ct):
     and each path routes the whole gradient through exactly one of the
     two.  Gradients w.r.t. the geometry scalars in params are zero on
     the fused path (volume bounds are never optimization variables)."""
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     params, out, state, pairs, field, traj = res
     if traj is not None:
         d_pairs, d_state = _bwd_stage_call(static, params, out, traj,
@@ -973,7 +974,7 @@ def _fused_march_bwd(static, res, ct):
 def _unfused_equivalent(static, params, state, field):
     """The fused kernel's math, expressed through the per-stage sampler
     (march_dense's scan body) — used only for the backward recompute."""
-    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static
+    W, H, S, scheme, algorithm, substeps, interpret, B, defect_iters = static[:9]
     from photon_tpu.ops.march_dense_pallas import (dense_slab_sample,
                                                    pairs_transposed)
 
@@ -1062,7 +1063,8 @@ def pairs_packed(field):
 
 def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
                       algorithm: int = 2, interpolation_scheme: int = 1,
-                      field=None, substeps=None, interpret=None):
+                      field=None, substeps=None, interpret=None,
+                      passes=None):
     """Fused-kernel twin of march_dense.march_chief_dense.
 
     Same contract: (P,) chief states in, (x, y, z, dirx, diry, dirz)
@@ -1139,7 +1141,8 @@ def march_chief_fused(vol, xs, ys, zs, dcx, dcy, dcz, *,
         # accurate-everywhere setting
         defect_iters = 3
     static = (w, h, d - 1, int(interpolation_scheme), int(algorithm),
-              substeps, bool(interpret), B, defect_iters)
+              substeps, bool(interpret), B, defect_iters,
+              int(_fwd_passes() if passes is None else passes))
 
     max_g = max(1, _BWD_MAX_RAYS // B)
     if G <= max_g:

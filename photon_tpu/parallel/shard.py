@@ -247,5 +247,14 @@ def scaling_report(device_counts=(1, 2, 4, 8), dots_per_device: int = 128,
 
 
 if __name__ == "__main__":
+    # the virtual CPU mesh needs the platform pinned BEFORE first
+    # backend use: a sitecustomize may force-register a remote TPU
+    # platform whose single chip would shrink the sweep to n=1
+    # (jax_platforms is sticky after backend init — see
+    # __graft_entry__.dryrun_multichip)
+    import os
+    if "xla_force_host_platform_device_count" in \
+            os.environ.get("XLA_FLAGS", ""):
+        jax.config.update("jax_platforms", "cpu")
     rep = scaling_report()
     print(json.dumps(rep, indent=2, default=float))

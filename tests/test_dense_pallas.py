@@ -95,9 +95,15 @@ def test_pallas_march_matches_xla_march(algorithm, scheme):
     ref = chief_deltas_dense(vol, *args, algorithm=algorithm,
                              interpolation_scheme=scheme,
                              use_pallas_sampler=False)
-    out = chief_deltas_dense(vol, *args, algorithm=algorithm,
-                             interpolation_scheme=scheme,
-                             use_pallas_sampler=True)
+    # PHOTON_MARCH_PASSES=3: this is a bit-parity check of the sampler
+    # semantics; the production default is the 2-pass contraction whose
+    # ~2e-3 budget is asserted in test_dense_fused
+    import photon_tpu.ops.march_dense_fused as mdf
+    import unittest.mock as mock
+    with mock.patch.object(mdf, "_fwd_passes", lambda: 3):
+        out = chief_deltas_dense(vol, *args, algorithm=algorithm,
+                                 interpolation_scheme=scheme,
+                                 use_pallas_sampler=True)
     for r, o in zip(ref, out):
         r, o = np.asarray(r), np.asarray(o)
         scale = max(np.abs(r).max(), 1e-9)

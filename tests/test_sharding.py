@@ -115,6 +115,10 @@ def test_sharded_windowed_march_matches_single_device():
     assert not dense_march_supported(vol)
 
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("particles",))
+    # earlier tests may have filled the plan cache close to its
+    # clear-at-9 bound; the cache-state assertions below need both of
+    # THIS test's entries to survive
+    rf._window_plan_cache.clear()
     img1 = np.asarray(render_image_fast(cfg, setup, src, r1, r2, vol=vol))
     img8 = np.asarray(render_image_fast(cfg, setup, src, r1, r2, vol=vol,
                                         mesh=mesh))
