@@ -77,6 +77,11 @@ def _dot_split(a, b, dn, passes: int):
     ~2e-3 deflection error, i.e. the split error is all in the field
     operand); passes=1 is plain bf16.  The fused and windowed marches
     default to 2 (see march_dense_fused._fwd_passes / PARITY.md).
+
+    (A K-concat single-matmul variant — [a_hi | a_lo] @ [b_hi ; b_hi],
+    one systolic fill/drain instead of two — was A/B-measured slightly
+    SLOWER at bench scale and OOM'd the 512^3 windowed march: the
+    per-stage concat copies cost more than the saved pipeline fill.)
     """
     if passes >= 3:
         return _dot3(a, b, dn)
