@@ -150,9 +150,23 @@ def _particle_splat_xla(Xs, Ys, A, col0, row0, static):
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _particle_splat_fused(static, Xs, Ys, A, col0, row0):
     """Fused Pallas splat (ops.splat_pallas) with an XLA-transpose
-    backward.  Anchors must be fully in-bounds (particle_splat clamps)."""
-    from photon_tpu.ops.splat_pallas import splat_particles_pallas
+    backward.  Anchors must be fully in-bounds (particle_splat clamps).
+
+    Prefers the sorted tile-accumulate v2 kernel (a handful of
+    full-width vector ops per particle instead of v1's tiny-vector
+    roll+RMW sequence; ~4x on the bench forward) where its window
+    bounds apply; PHOTON_SPLAT_V2=0 pins v1 (trace-time env)."""
+    import os
+    from photon_tpu.ops.splat_pallas import (splat_particles_pallas,
+                                             splat_particles_pallas_v2,
+                                             splat_v2_supported)
     nx, ny, diameter, K, render_fraction = static
+    if splat_v2_supported(K, ny, nx) \
+            and os.environ.get("PHOTON_SPLAT_V2", "1") == "1":
+        return splat_particles_pallas_v2(
+            Xs, Ys, A, col0, row0, K=K, ny=ny, nx=nx, diameter=diameter,
+            render_fraction=render_fraction,
+            interpret=jax.default_backend() != "tpu")
     return splat_particles_pallas(
         Xs, Ys, A, col0, row0, K=K, ny=ny, nx=nx, diameter=diameter,
         render_fraction=render_fraction,

@@ -84,3 +84,37 @@ def test_pallas_splat_gradients():
         a, b = np.asarray(a), np.asarray(b)
         denom = max(np.abs(b).max(), 1e-9)
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-5)
+
+
+def test_pallas_splat_v2_matches_xla():
+    """The round-5 sorted tile-accumulate kernel: identical deposits to
+    the XLA oracle (modulo the in-kernel erf approximation and
+    within-tile add reordering)."""
+    from photon_tpu.ops.splat_pallas import (splat_particles_pallas_v2,
+                                             splat_v2_supported)
+    nx, ny, K, D = 512, 256, 8, 3.0
+    assert splat_v2_supported(K, ny, nx)
+    X, Y, A, col0, row0 = _spots(p=600, nx=nx, ny=ny, K=K)
+    static = (nx, ny, D, K, 0.75)
+    ref = np.asarray(_particle_splat_xla(X, Y, A, col0, row0, static))
+    got = np.asarray(splat_particles_pallas_v2(
+        X, Y, A, col0, row0, K=K, ny=ny, nx=nx, diameter=D,
+        render_fraction=0.75, interpret=True))
+    assert ref.sum() > 0
+    np.testing.assert_allclose(got, ref, atol=3e-6 * ref.max())
+
+
+def test_pallas_splat_v2_border_spots():
+    from photon_tpu.ops.splat_pallas import splat_particles_pallas_v2
+    nx, ny, K, D = 256, 128, 8, 3.0
+    X = jnp.asarray([-0.4, nx - 0.6, 3.0, nx / 2.0], jnp.float32)
+    Y = jnp.asarray([-0.4, ny - 0.6, ny - 1.0, 0.2], jnp.float32)
+    A = jnp.ones(4, jnp.float32)
+    col0 = jnp.clip(jnp.round(X).astype(jnp.int32) - K // 2, 0, nx - K)
+    row0 = jnp.clip(jnp.round(Y).astype(jnp.int32) - K // 2, 0, ny - K)
+    static = (nx, ny, D, K, 0.75)
+    ref = np.asarray(_particle_splat_xla(X, Y, A, col0, row0, static))
+    got = np.asarray(splat_particles_pallas_v2(
+        X, Y, A, col0, row0, K=K, ny=ny, nx=nx, diameter=D,
+        render_fraction=0.75, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-6 * max(ref.max(), 1e-9))
