@@ -919,6 +919,12 @@ def _check_window_violations(viol_count, key):
     policy = os.environ.get("PHOTON_WINDOW_CHECK", "1")
     if policy == "0":
         return
+    if isinstance(viol_count, jax.core.Tracer):
+        # render_image_fast is being traced inside an outer jit (e.g.
+        # an inversion loss): no host sync is possible here.  The
+        # plan-time drift probe already vetted the scene, and callers
+        # that need the per-call check can render once outside jit.
+        return
     ckey = ("violchecked", key)
     if policy != "always" and _window_plan_cache.get(ckey):
         return

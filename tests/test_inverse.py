@@ -60,3 +60,38 @@ def test_bos_inversion_recovers_gradient():
     err_rec = np.abs(img_rec - observed).sum()
     err_uniform = np.abs(img_uniform - observed).sum()
     assert err_rec < 0.5 * err_uniform, (err_rec, err_uniform)
+
+
+def test_bos_inversion_through_windowed_march():
+    """The framework's north star at CI size: differentiable BOS
+    inversion through a volume BEYOND the dense-march cap (>256^2
+    slabs), i.e. gradients flow through the windowed custom_vjp kernel
+    (round-4 verdict #1: this used to fall to the tube path).  Also
+    regression-guards render_image_fast being traced inside an outer
+    jit with the windowed drift check active."""
+    from photon_tpu.ops.march_dense import dense_march_supported
+    from photon_tpu.volume import build_density_volume
+
+    cfg = bos_case("apparent", n_dots=8, rays=8)
+    setup = camera_setup(cfg)
+    src, *_ = bos_source(cfg, setup, np.random.default_rng(4))
+    r1, r2 = lens_samples(jax.random.key(9), 8)
+
+    n, d = 288, 6
+    x = np.linspace(-2e5, 2e5, n)
+    z = np.linspace(setup.object_distance - 0.6 * setup.object_distance,
+                    setup.object_distance - 0.1 * setup.object_distance, d)
+    gx = np.linspace(0, 1, n)
+    rho_true = (1.225 + 4.0 * gx[:, None, None]
+                * np.ones((1, n, d))).astype(np.float32)
+    vol_true = build_density_volume(
+        rho_true, [x[1] - x[0], x[1] - x[0], z[1] - z[0]],
+        [x[0], x[0], z[0]])
+    assert not dense_march_supported(vol_true)
+
+    observed = np.asarray(render_image_fast(cfg, setup, src, r1, r2,
+                                            vol=vol_true))
+    result = invert_bos(cfg, setup, src, r1, r2, observed, vol_true,
+                        steps=20, learning_rate=0.02)
+    assert np.isfinite(result.losses).all()
+    assert min(result.losses) < 0.6 * result.losses[0], result.losses
